@@ -1,0 +1,457 @@
+"""Conditional flow matching: speech tokens -> mel (CosyVoice2 "flow" stage).
+
+Behavioral spec:
+  * estimator UNet: reference `cosyvoice/flow/decoder.py:88-334`
+    (ConditionalDecoder; causal variant: CausalConv1d = left-pad k-1,
+    CausalBlock1D uses LayerNorm instead of GroupNorm) built from Matcha-TTS
+    blocks `flow/components/decoder.py` (SinusoidalPosEmb with scale 1000,
+    Block1D/ResnetBlock1D, TimestepEmbedding) and diffusers-style transformer
+    blocks `flow/components/transformer.py:137-316` (LN -> SDPA -> LN -> GELU
+    FF, additive FLOAT attention mask — the reference passes a 0/1 float mask
+    which SDPA treats as a +1 bias on valid positions, NOT a hard mask; we
+    reproduce that semantics exactly).
+  * OT-CFM solver: `flow/flow_matching.py` — ConditionalCFM.solve_euler:72-124
+    (fixed-step Euler, batch-2 classifier-free-guidance trick,
+    (1+r)*cond - r*uncond with r=0.7), cosine t-schedule 1-cos(pi t/2),
+    compute_loss:167-206 (t~U cosine-warped, y=(1-(1-sigma)t)z + t x1,
+    u = x1-(1-sigma)z, CFG dropout 0.2, masked MSE);
+    CausalConditionalCFM:209-240 (fixed seeded noise buffer [1, 80, 15000]
+    sliced per length -> reproducible chunk-consistent synthesis).
+  * wrapper: `flow/flow.py:163-319` CausalMaskedDiffWithXvec (token embed ->
+    UpsampleConformerEncoder 2x -> proj 80; spk vec L2-normalized -> Linear 80;
+    conds = prompt-mel prefix; inference slices the prompt region off).
+
+TPU-first: channels-last [B, T, C]; the Euler loop is a lax.scan over
+(t, dt) pairs so the estimator compiles once; CFG rides a 2B batch through a
+single estimator call (MXU-friendly); noise is a framework-seeded constant
+(jax PRNG) with an injection hook for cross-framework parity.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.models.conformer import ConformerConfig, UpsampleConformerEncoder
+from cosyvoice_tpu.nn.conv import Conv1d
+from cosyvoice_tpu.ops.activations import mish
+from cosyvoice_tpu.ops.masks import make_non_pad_mask
+
+
+# --------------------------------------------------------------------------
+# estimator building blocks
+# --------------------------------------------------------------------------
+
+def sinusoidal_time_emb(t: jax.Array, dim: int, scale: float = 1000.0) -> jax.Array:
+    """[B] -> [B, dim]; Matcha SinusoidalPosEmb (components/decoder.py:12-27)."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=t.dtype) * -(np.log(10000.0) / (half - 1)))
+    ang = scale * t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    time_embed_dim: int
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array) -> jax.Array:
+        h = nn.Dense(self.time_embed_dim, name="linear_1")(t_emb)
+        h = jax.nn.silu(h)
+        return nn.Dense(self.time_embed_dim, name="linear_2")(h)
+
+
+class Block1D(nn.Module):
+    """conv3 -> GroupNorm(8) (or LayerNorm when causal) -> Mish, masked."""
+
+    dim_out: int
+    causal: bool = False
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        pad = (2, 0) if self.causal else (1, 1)
+        h = Conv1d(self.dim_out, 3, padding=pad, name="conv")(x * mask[..., None])
+        if self.causal:
+            h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(h)
+        return mish(h) * mask[..., None]
+
+
+class ResnetBlock1D(nn.Module):
+    dim_out: int
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array, t: jax.Array) -> jax.Array:
+        h = Block1D(self.dim_out, self.causal, name="block1")(x, mask)
+        h = h + nn.Dense(self.dim_out, name="mlp")(mish(t))[:, None, :]
+        h = Block1D(self.dim_out, self.causal, name="block2")(h, mask)
+        return h + Conv1d(self.dim_out, 1, name="res_conv")(x * mask[..., None])
+
+
+class DiTBlock(nn.Module):
+    """diffusers BasicTransformerBlock (self-attn only, gelu FF).
+
+    attn_bias is ADDED to the scores verbatim — pass the reference's 0/1
+    float mask to reproduce its (soft) masking semantics.
+    """
+
+    dim: int
+    heads: int
+    head_dim: int
+    ff_mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array]) -> jax.Array:
+        inner = self.heads * self.head_dim
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        B, T, _ = x.shape
+        q = nn.Dense(inner, use_bias=False, name="to_q")(h).reshape(B, T, self.heads, self.head_dim)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(h).reshape(B, T, self.heads, self.head_dim)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(h).reshape(B, T, self.heads, self.head_dim)
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k) / np.sqrt(self.head_dim)
+        if attn_bias is not None:
+            scores = scores + attn_bias[:, None, :, :]
+        attn = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, T, inner)
+        x = x + nn.Dense(self.dim, name="to_out")(o)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        h = nn.Dense(self.dim * self.ff_mult, name="ff_in")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + nn.Dense(self.dim, name="ff_out")(h)
+        return x
+
+
+@dataclass(frozen=True)
+class EstimatorConfig:
+    in_channels: int = 320  # x(80) + mu(80) + spks(80) + cond(80)
+    out_channels: int = 80
+    causal: bool = True
+    channels: Sequence[int] = (256,)
+    n_blocks: int = 4
+    num_mid_blocks: int = 12
+    num_heads: int = 8
+    attention_head_dim: int = 64
+    static_chunk_size: int = 50  # mel frames per streaming chunk (2*fr*ratio)
+
+
+class ConditionalDecoder(nn.Module):
+    """The CFM estimator v(x, mu, t, spk, cond); channels-last [B, T, C].
+
+    Only the single-resolution topology the production configs use
+    (len(channels) == 1: no real down/upsampling, causal convs in between) is
+    specialized here; multi-level configs follow the same reference layout.
+    """
+
+    cfg: EstimatorConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array, mu: jax.Array,
+                 t: jax.Array, spks: jax.Array, cond: jax.Array,
+                 streaming: bool = False) -> jax.Array:
+        cfg = self.cfg
+        assert len(cfg.channels) == 1, "multi-resolution estimator not yet wired"
+        ch = cfg.channels[0]
+        time_dim = ch * 4
+        t_emb = sinusoidal_time_emb(t, cfg.in_channels)
+        t_emb = TimestepEmbedding(time_dim, name="time_mlp")(t_emb)
+
+        T = x.shape[1]
+        spks_b = jnp.broadcast_to(spks[:, None, :], (x.shape[0], T, spks.shape[-1]))
+        h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
+
+        # reference semantics: float 0/1 pairwise mask used as additive bias
+        attn_bias = (mask[:, :, None] * mask[:, None, :]).astype(h.dtype)
+
+        def blocks(h, name):
+            h = ResnetBlock1D(ch, cfg.causal, name=f"{name}_resnet")(h, mask, t_emb)
+            for j in range(cfg.n_blocks):
+                h = DiTBlock(ch, cfg.num_heads, cfg.attention_head_dim,
+                             name=f"{name}_tb_{j}")(h, attn_bias)
+            return h
+
+        pad = (2, 0) if cfg.causal else (1, 1)
+        h = blocks(h, "down_0")
+        skip = h  # reference saves the skip BEFORE the downsample conv (decoder.py:282)
+        h = Conv1d(ch, 3, padding=pad, name="down_0_downsample")(h * mask[..., None])
+        for i in range(cfg.num_mid_blocks):
+            h = blocks(h, f"mid_{i}")
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = blocks(h, "up_0")
+        h = Conv1d(ch, 3, padding=pad, name="up_0_upsample")(h * mask[..., None])
+        h = Block1D(ch, cfg.causal, name="final_block")(h, mask)
+        out = Conv1d(cfg.out_channels, 1, name="final_proj")(h * mask[..., None])
+        return out * mask[..., None]
+
+
+# --------------------------------------------------------------------------
+# CFM solver
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CFMConfig:
+    sigma_min: float = 1e-6
+    t_scheduler: str = "cosine"
+    training_cfg_rate: float = 0.2
+    inference_cfg_rate: float = 0.7
+    n_timesteps: int = 10
+    noise_frames: int = 15000  # 50 fps * 300 s fixed-noise buffer
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _fixed_noise(frames: int) -> np.ndarray:
+    return np.random.default_rng(0).standard_normal((1, frames, 80)).astype(np.float32)
+
+
+def cosine_t_span(n_timesteps: int, dtype=jnp.float32) -> jax.Array:
+    ts = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=dtype)
+    return 1.0 - jnp.cos(ts * 0.5 * jnp.pi)
+
+
+class CausalConditionalCFM(nn.Module):
+    """Euler OT-CFM sampler around a ConditionalDecoder estimator."""
+
+    cfg: CFMConfig = field(default_factory=CFMConfig)
+    est_cfg: EstimatorConfig = field(default_factory=EstimatorConfig)
+
+    def setup(self):
+        self.estimator = ConditionalDecoder(self.est_cfg)
+
+    @property
+    def rand_noise(self) -> jax.Array:
+        # framework-seeded reproducible noise (reference pins torch seed 0;
+        # inject its dump through `noise` for cross-framework parity)
+        return jnp.asarray(_fixed_noise(self.cfg.noise_frames))
+
+    def __call__(self, mu: jax.Array, mask: jax.Array, spks: jax.Array,
+                 cond: jax.Array, n_timesteps: int = 10, temperature: float = 1.0,
+                 noise: Optional[jax.Array] = None, streaming: bool = False) -> jax.Array:
+        """mu [B,T,80], mask [B,T] float, spks [B,80], cond [B,T,80] -> mel [B,T,80]."""
+        B, T, C = mu.shape
+        z = (self.rand_noise[:, :T, :] if noise is None else noise) * temperature
+        z = jnp.broadcast_to(z, (B, T, C)).astype(mu.dtype)
+        t_span = cosine_t_span(n_timesteps, mu.dtype)
+        return self.solve_euler(z, t_span, mu, mask, spks, cond, streaming)
+
+    def solve_euler(self, x, t_span, mu, mask, spks, cond, streaming=False):
+        B = x.shape[0]
+        r = self.cfg.inference_cfg_rate
+        mask2 = jnp.concatenate([mask, mask], axis=0)
+        mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+        spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+        cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+
+        ts = t_span[:-1]
+        dts = t_span[1:] - t_span[:-1]
+
+        def step(x, t_dt):
+            t, dt = t_dt
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.full((2 * B,), t, x.dtype)
+            v = self.estimator(x2, mask2, mu2, t2, spks2, cond2, streaming)
+            v_cond, v_uncond = v[:B], v[B:]
+            dphi = (1.0 + r) * v_cond - r * v_uncond
+            return x + dt * dphi, None
+
+        x, _ = jax.lax.scan(step, x, (ts, dts))
+        return x
+
+    def compute_loss(self, x1, mask, mu, spks, cond, rng, streaming=False):
+        """Masked OT-CFM MSE loss (reference flow_matching.py:167-206)."""
+        B, T, C = mu.shape
+        k_t, k_z, k_cfg = jax.random.split(rng, 3)
+        t = jax.random.uniform(k_t, (B, 1, 1), mu.dtype)
+        if self.cfg.t_scheduler == "cosine":
+            t = 1.0 - jnp.cos(t * 0.5 * jnp.pi)
+        z = jax.random.normal(k_z, x1.shape, x1.dtype)
+        y = (1.0 - (1.0 - self.cfg.sigma_min) * t) * z + t * x1
+        u = x1 - (1.0 - self.cfg.sigma_min) * z
+        if self.cfg.training_cfg_rate > 0:
+            keep = (jax.random.uniform(k_cfg, (B,)) > self.cfg.training_cfg_rate)
+            keep = keep.astype(mu.dtype)
+            mu = mu * keep[:, None, None]
+            spks = spks * keep[:, None]
+            cond = cond * keep[:, None, None]
+        pred = self.estimator(y, mask, mu, t[:, 0, 0], spks, cond, streaming)
+        m = mask[..., None]
+        loss = jnp.sum(((pred - u) * m) ** 2) / (jnp.sum(mask) * C)
+        return loss, y
+
+
+# --------------------------------------------------------------------------
+# token -> mel wrapper
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FlowConfig:
+    input_size: int = 512
+    output_size: int = 80
+    spk_embed_dim: int = 192
+    vocab_size: int = 6561
+    input_frame_rate: int = 25
+    token_mel_ratio: int = 2
+    pre_lookahead_len: int = 3
+    encoder: ConformerConfig = field(default_factory=lambda: ConformerConfig(
+        dim=512, heads=8, linear_units=2048, num_blocks=6,
+        dropout_rate=0.1, attention_dropout_rate=0.1, input_size=512,
+        static_chunk_size=50))
+    cfm: CFMConfig = field(default_factory=CFMConfig)
+    estimator: EstimatorConfig = field(default_factory=EstimatorConfig)
+
+
+class CausalMaskedDiffWithXvec(nn.Module):
+    """CosyVoice2 flow model (reference flow/flow.py:163-319)."""
+
+    cfg: FlowConfig = field(default_factory=FlowConfig)
+
+    def setup(self):
+        cfg = self.cfg
+        self.input_embedding = nn.Embed(cfg.vocab_size, cfg.input_size)
+        self.spk_embed_affine_layer = nn.Dense(cfg.output_size)
+        self.encoder = UpsampleConformerEncoder(
+            cfg.encoder, up_blocks=4, pre_lookahead_len=cfg.pre_lookahead_len,
+            up_stride=cfg.token_mel_ratio)
+        self.encoder_proj = nn.Dense(cfg.output_size)
+        self.decoder = CausalConditionalCFM(cfg.cfm, cfg.estimator)
+
+    def _encode(self, token, token_len, streaming=False, deterministic=True):
+        mask = make_non_pad_mask(token_len, token.shape[1])
+        emb = self.input_embedding(jnp.maximum(token, 0)) * mask[..., None]
+        h, pad2 = self.encoder(emb, token_len, streaming=streaming,
+                               deterministic=deterministic)
+        return self.encoder_proj(h), pad2
+
+    def inference(self, token, token_len, prompt_feat, embedding,
+                  n_timesteps: int = 10, noise: Optional[jax.Array] = None,
+                  streaming: bool = False) -> jax.Array:
+        """token [B, Tp+Tg] (prompt tokens ++ generated tokens, already
+        concatenated and trimmed to ratio-multiples by the caller),
+        prompt_feat [B, P, 80] with P = ratio * prompt_token_len,
+        embedding [B, spk_embed_dim] -> mel [B, ratio*T - P, 80].
+        """
+        spks = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True).clip(1e-12)
+        spks = self.spk_embed_affine_layer(spks)
+        h, _ = self._encode(token, token_len, streaming=streaming)
+        P = prompt_feat.shape[1]
+        T2 = h.shape[1]
+        conds = jnp.zeros((h.shape[0], T2, self.cfg.output_size), h.dtype)
+        conds = conds.at[:, :P].set(prompt_feat)
+        mask = make_non_pad_mask(token_len * self.cfg.token_mel_ratio, T2).astype(h.dtype)
+        feat = self.decoder(h, mask, spks, conds, n_timesteps=n_timesteps,
+                            noise=noise, streaming=streaming)
+        return feat[:, P:, :]
+
+    def __call__(self, token, token_len, feat, feat_len, embedding, rng,
+                 streaming: bool = False, deterministic: bool = False):
+        """Training loss.  feat [B, Tf, 80] mel target, Tf == ratio * token T.
+
+        The 0-30%% random prompt-prefix conditioning (flow.py:243-248) is
+        sampled here with jax PRNG; 50%% of samples get no conditioning.
+        """
+        cfg = self.cfg
+        k_cond_on, k_cond_len, k_cfm = jax.random.split(rng, 3)
+        spks = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True).clip(1e-12)
+        spks = self.spk_embed_affine_layer(spks)
+        h, _ = self._encode(token, token_len, streaming=streaming,
+                            deterministic=deterministic)
+        B, T2, _ = h.shape
+        feat = feat[:, :T2, :]
+        feat_len = jnp.minimum(feat_len, T2)
+
+        use_cond = jax.random.bernoulli(k_cond_on, 0.5, (B,))
+        frac = jax.random.uniform(k_cond_len, (B,))
+        idx = (frac * 0.3 * feat_len).astype(jnp.int32)
+        pos = jnp.arange(T2)[None, :]
+        cond_mask = (pos < idx[:, None]) & use_cond[:, None]
+        conds = jnp.where(cond_mask[..., None], feat, 0.0)
+
+        mask = make_non_pad_mask(feat_len, T2).astype(h.dtype)
+        loss, _ = self.decoder.compute_loss(feat, mask, h, spks, conds, k_cfm,
+                                            streaming=streaming)
+        return {"loss": loss}
+
+
+# --------------------------------------------------------------------------
+# torch checkpoint import
+# --------------------------------------------------------------------------
+
+def import_estimator_torch(state_dict, cfg: EstimatorConfig) -> dict:
+    """reference ConditionalDecoder state_dict -> params (channels-last)."""
+    from cosyvoice_tpu.models.conformer import _dense, _ln
+    from cosyvoice_tpu.nn.conv import torch_conv_weight
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv(prefix):
+        return {"kernel": torch_conv_weight(sd[f"{prefix}.weight"]),
+                "bias": jnp.asarray(sd[f"{prefix}.bias"])}
+
+    def block1d(prefix, causal):
+        norm = ({"scale": jnp.asarray(sd[f"{prefix}.block.2.weight"]),
+                 "bias": jnp.asarray(sd[f"{prefix}.block.2.bias"])}
+                if causal else
+                {"scale": jnp.asarray(sd[f"{prefix}.block.1.weight"]),
+                 "bias": jnp.asarray(sd[f"{prefix}.block.1.bias"])})
+        return {"conv": conv(f"{prefix}.block.0"), "norm": norm}
+
+    def resnet(prefix, causal):
+        return {"block1": block1d(f"{prefix}.block1", causal),
+                "block2": block1d(f"{prefix}.block2", causal),
+                "mlp": _dense(sd, f"{prefix}.mlp.1"),
+                "res_conv": conv(f"{prefix}.res_conv")}
+
+    def tb(prefix):
+        return {"norm1": _ln(sd, f"{prefix}.norm1"),
+                "norm3": _ln(sd, f"{prefix}.norm3"),
+                "to_q": _dense(sd, f"{prefix}.attn1.to_q", bias=False),
+                "to_k": _dense(sd, f"{prefix}.attn1.to_k", bias=False),
+                "to_v": _dense(sd, f"{prefix}.attn1.to_v", bias=False),
+                "to_out": _dense(sd, f"{prefix}.attn1.to_out.0"),
+                "ff_in": _dense(sd, f"{prefix}.ff.net.0.proj"),
+                "ff_out": _dense(sd, f"{prefix}.ff.net.2")}
+
+    causal = cfg.causal
+    params = {
+        "time_mlp": {"linear_1": _dense(sd, "time_mlp.linear_1"),
+                     "linear_2": _dense(sd, "time_mlp.linear_2")},
+        "down_0_resnet": resnet("down_blocks.0.0", causal),
+        "down_0_downsample": conv("down_blocks.0.2"),
+        "up_0_resnet": resnet("up_blocks.0.0", causal),
+        "up_0_upsample": conv("up_blocks.0.2"),
+        "final_block": block1d("final_block", causal),
+        "final_proj": conv("final_proj"),
+    }
+    for j in range(cfg.n_blocks):
+        params[f"down_0_tb_{j}"] = tb(f"down_blocks.0.1.{j}")
+        params[f"up_0_tb_{j}"] = tb(f"up_blocks.0.1.{j}")
+    for i in range(cfg.num_mid_blocks):
+        params[f"mid_{i}_resnet"] = resnet(f"mid_blocks.{i}.0", causal)
+        for j in range(cfg.n_blocks):
+            params[f"mid_{i}_tb_{j}"] = tb(f"mid_blocks.{i}.1.{j}")
+    return {"params": params}
+
+
+def import_flow_torch(state_dict, cfg: FlowConfig) -> dict:
+    """reference CausalMaskedDiffWithXvec state_dict -> params pytree."""
+    from cosyvoice_tpu.models.conformer import _dense, import_upsample_encoder_torch
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items() if k.startswith("encoder.")}
+    est_sd = {k[len("decoder.estimator."):]: v for k, v in sd.items()
+              if k.startswith("decoder.estimator.")}
+    params = {
+        "input_embedding": {"embedding": jnp.asarray(sd["input_embedding.weight"])},
+        "spk_embed_affine_layer": _dense(sd, "spk_embed_affine_layer"),
+        "encoder_proj": _dense(sd, "encoder_proj"),
+        "encoder": import_upsample_encoder_torch(enc_sd, cfg.encoder)["params"],
+        "decoder": {"estimator": import_estimator_torch(est_sd, cfg.estimator)["params"]},
+    }
+    return {"params": params}

@@ -1,0 +1,141 @@
+"""1-D conv primitives with torch-exact shape/padding semantics, channels-last.
+
+All activations flow as [B, T, C] (lane dim = channels) — the layout XLA tiles
+best onto the MXU for 1-D convs.  Torch reference layouts ([B, C, T] with
+weight [out, in, k] / [in, out, k]) exist only in the checkpoint importers.
+
+Weight norm (used throughout the reference vocoders, e.g.
+`cosyvoice/hifigan/generator.py:56-80`) is kept as an explicit (g, v)
+parameterization fused at apply time, so training dynamics match torch's
+`nn.utils.weight_norm` (dim=0: one norm per output channel).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _norm_v(v: jax.Array, eps: float = 0.0) -> jax.Array:
+    # v: [k, in, out]; norm over (k, in) per output channel (torch dim=0)
+    return jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
+
+
+class Conv1d(nn.Module):
+    """torch.nn.Conv1d-compatible conv on [B, T, C] tensors."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int | tuple[int, int] = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k_shape = (self.kernel_size, in_ch // self.groups, self.features)
+        if self.weight_norm:
+            v = self.param("v", nn.initializers.lecun_normal(), k_shape)
+            g = self.param("g", lambda key, shape: jnp.ones(shape), (1, 1, self.features))
+            kernel = g * v / _norm_v(v)
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(), k_shape)
+        pad = self.padding if isinstance(self.padding, tuple) else (self.padding, self.padding)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype or x.dtype),
+            kernel.astype(self.dtype or x.dtype),
+            window_strides=(self.stride,),
+            padding=[pad],
+            rhs_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """torch.nn.ConvTranspose1d-compatible (output_padding 0) on [B, T, C].
+
+    Implemented as lhs-dilated correlation with the k-flipped kernel and
+    padding (k-1-p) both sides: out_len = (in-1)*stride - 2*padding + kernel.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        # stored in forward-correlation form [k, in, out], already k-flipped
+        # relative to torch's convT weight at import time
+        k_shape = (self.kernel_size, in_ch, self.features)
+        if self.weight_norm:
+            # torch weight_norm(dim=0) on convT weight [in, out, k] normalizes
+            # over (out, k) per INPUT channel
+            v = self.param("v", nn.initializers.lecun_normal(), k_shape)
+            g = self.param("g", lambda key, shape: jnp.ones(shape), (1, in_ch, 1))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2), keepdims=True))
+            kernel = g * v / norm
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(), k_shape)
+        p = self.kernel_size - 1 - self.padding
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype or x.dtype),
+            kernel.astype(self.dtype or x.dtype),
+            window_strides=(1,),
+            padding=[(p, p)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+class CausalConv1d(nn.Module):
+    """Left-padded conv: output at t sees inputs <= t (reference
+    `cosyvoice/flow/decoder.py:59-86` pads k-1 on the left)."""
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        left = (self.kernel_size - 1) * self.dilation
+        return Conv1d(self.features, self.kernel_size, padding=(left, 0),
+                      dilation=self.dilation, use_bias=self.use_bias,
+                      weight_norm=self.weight_norm, name="conv")(x)
+
+
+def torch_conv_weight(w) -> jnp.ndarray:
+    """torch Conv1d weight [out, in, k] -> ours [k, in, out]."""
+    import numpy as np
+
+    return jnp.asarray(np.transpose(np.asarray(w), (2, 1, 0)))
+
+
+def torch_convT_weight(w) -> jnp.ndarray:
+    """torch ConvTranspose1d weight [in, out, k] -> ours [k, in, out], k-flipped."""
+    import numpy as np
+
+    w = np.asarray(w)[:, :, ::-1]  # flip k
+    return jnp.asarray(np.transpose(w, (2, 0, 1)))  # [k, in, out]

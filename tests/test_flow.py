@@ -1,0 +1,163 @@
+"""Golden parity: flow estimator / CFM / full flow model vs torch reference."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.reference_util import ref_state_dict  # installs stubs first
+from cosyvoice_tpu.models.conformer import ConformerConfig
+from cosyvoice_tpu.models.flow import (
+    CFMConfig, CausalConditionalCFM, CausalMaskedDiffWithXvec, ConditionalDecoder,
+    EstimatorConfig, FlowConfig, import_estimator_torch, import_flow_torch)
+
+
+def _cfm_params():
+    from omegaconf import DictConfig
+
+    return DictConfig({"sigma_min": 1e-6, "solver": "euler", "t_scheduler": "cosine",
+                       "training_cfg_rate": 0.2, "inference_cfg_rate": 0.7,
+                       "reg_loss_type": "l1"})
+
+
+def _ref_estimator(cfg: EstimatorConfig):
+    from cosyvoice.flow.decoder import ConditionalDecoder as Ref
+
+    torch.manual_seed(0)
+    return Ref(in_channels=cfg.in_channels, out_channels=cfg.out_channels,
+               causal=cfg.causal, channels=list(cfg.channels), dropout=0.0,
+               attention_head_dim=cfg.attention_head_dim, n_blocks=cfg.n_blocks,
+               num_mid_blocks=cfg.num_mid_blocks, num_heads=cfg.num_heads,
+               act_fn="gelu").eval()
+
+
+EST_SMALL = EstimatorConfig(in_channels=32, out_channels=8, causal=True,
+                            channels=(16,), n_blocks=1, num_mid_blocks=2,
+                            num_heads=2, attention_head_dim=4)
+
+
+def test_estimator_parity(rng):
+    ref = _ref_estimator(EST_SMALL)
+    B, T, F = 2, 10, 8
+    x = rng.standard_normal((B, F, T)).astype(np.float32)
+    mu = rng.standard_normal((B, F, T)).astype(np.float32)
+    spks = rng.standard_normal((B, F)).astype(np.float32)
+    cond = rng.standard_normal((B, F, T)).astype(np.float32)
+    mask = np.ones((B, 1, T), np.float32)
+    mask[1, :, 7:] = 0.0
+    t = np.array([0.3, 0.8], np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(mask),
+                      torch.from_numpy(mu), torch.from_numpy(t),
+                      torch.from_numpy(spks), torch.from_numpy(cond)).numpy()
+    model = ConditionalDecoder(EST_SMALL)
+    params = import_estimator_torch(ref_state_dict(ref), EST_SMALL)
+    out_j = model.apply(params, jnp.asarray(x.transpose(0, 2, 1)),
+                        jnp.asarray(mask[:, 0, :]),
+                        jnp.asarray(mu.transpose(0, 2, 1)), jnp.asarray(t),
+                        jnp.asarray(spks), jnp.asarray(cond.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(out_j).transpose(0, 2, 1), out_ref,
+                               atol=2e-4, rtol=1e-3)
+
+
+EST80 = EstimatorConfig(in_channels=320, out_channels=80, causal=True,
+                        channels=(64,), n_blocks=1, num_mid_blocks=1,
+                        num_heads=2, attention_head_dim=32)
+
+
+def test_cfm_euler_parity(rng):
+    """10-step Euler CFG sampling parity, torch noise injected into JAX."""
+    from cosyvoice.flow.flow_matching import CausalConditionalCFM as RefCFM
+
+    ref_est = _ref_estimator(EST80)
+    ref = RefCFM(in_channels=240, cfm_params=_cfm_params(), n_spks=1,
+                 spk_emb_dim=80, estimator=ref_est)
+    B, T = 1, 20
+    mu = rng.standard_normal((B, 80, T)).astype(np.float32)
+    spks = rng.standard_normal((B, 80)).astype(np.float32)
+    cond = rng.standard_normal((B, 80, T)).astype(np.float32)
+    mask = np.ones((B, 1, T), np.float32)
+    with torch.no_grad():
+        out_ref, _ = ref(torch.from_numpy(mu), torch.from_numpy(mask), 10,
+                         spks=torch.from_numpy(spks), cond=torch.from_numpy(cond))
+    noise = ref.rand_noise[:, :, :T].numpy()
+
+    model = CausalConditionalCFM(CFMConfig(), EST80)
+    params = {"params": {"estimator":
+              import_estimator_torch(ref_state_dict(ref_est), EST80)["params"]}}
+    out_j = model.apply(params, jnp.asarray(mu.transpose(0, 2, 1)),
+                        jnp.ones((B, T)), jnp.asarray(spks),
+                        jnp.asarray(cond.transpose(0, 2, 1)), n_timesteps=10,
+                        noise=jnp.asarray(noise.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(out_j).transpose(0, 2, 1),
+                               out_ref.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_full_flow_inference_parity(rng):
+    """token -> mel through embed + upsample-encoder + CFM, vs reference."""
+    from cosyvoice.flow.flow import CausalMaskedDiffWithXvec as RefFlow
+    from cosyvoice.transformer.upsample_encoder import UpsampleConformerEncoder as RefEnc
+
+    enc_cfg = ConformerConfig(dim=512, heads=8, linear_units=64, num_blocks=1,
+                              dropout_rate=0.0, attention_dropout_rate=0.0,
+                              input_size=512, static_chunk_size=50)
+    cfg = FlowConfig(vocab_size=50, encoder=enc_cfg, estimator=EST80)
+    torch.manual_seed(0)
+    ref_enc = RefEnc(input_size=512, output_size=512, attention_heads=8,
+                     linear_units=64, num_blocks=1, dropout_rate=0.0,
+                     positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+                     input_layer="linear", pos_enc_layer_type="rel_pos_espnet",
+                     selfattention_layer_type="rel_selfattn",
+                     use_cnn_module=False, macaron_style=False)
+    ref_est = _ref_estimator(EST80)
+    from cosyvoice.flow.flow_matching import CausalConditionalCFM as RefCFM
+
+    ref_cfm = RefCFM(in_channels=240, cfm_params=_cfm_params(), n_spks=1,
+                     spk_emb_dim=80, estimator=ref_est)
+    ref = RefFlow(input_size=512, output_size=80, spk_embed_dim=192,
+                  vocab_size=50, input_frame_rate=25, token_mel_ratio=2,
+                  pre_lookahead_len=3, encoder=ref_enc, decoder=ref_cfm).eval()
+
+    Tp, Tg = 4, 8
+    token = rng.integers(0, 50, (1, Tp + Tg)).astype(np.int64)
+    prompt_feat = (rng.standard_normal((1, 2 * Tp, 80)).astype(np.float32) * 0.3)
+    emb = rng.standard_normal((1, 192)).astype(np.float32)
+    with torch.no_grad():
+        mel_ref, _ = ref.inference(
+            token=torch.from_numpy(token[:, Tp:]), token_len=torch.tensor([Tg]),
+            prompt_token=torch.from_numpy(token[:, :Tp]),
+            prompt_token_len=torch.tensor([Tp]),
+            prompt_feat=torch.from_numpy(prompt_feat),
+            prompt_feat_len=torch.tensor([2 * Tp]),
+            embedding=torch.from_numpy(emb))
+
+    model = CausalMaskedDiffWithXvec(cfg)
+    params = import_flow_torch(ref_state_dict(ref), cfg)
+    noise = ref_cfm.rand_noise[:, :, : 2 * (Tp + Tg)].numpy().transpose(0, 2, 1)
+    mel_j = model.apply(params, jnp.asarray(token), jnp.asarray([Tp + Tg]),
+                        jnp.asarray(prompt_feat), jnp.asarray(emb),
+                        noise=jnp.asarray(noise),
+                        method=CausalMaskedDiffWithXvec.inference)
+    assert mel_j.shape == (1, 2 * Tg, 80)
+    np.testing.assert_allclose(np.asarray(mel_j).transpose(0, 2, 1),
+                               mel_ref.numpy(), atol=2e-3, rtol=1e-2)
+
+
+def test_flow_training_loss_runs(rng):
+    """Training loss path: finite, mask-respecting (no torch counterpart RNG)."""
+    enc_cfg = ConformerConfig(dim=512, heads=8, linear_units=64, num_blocks=1,
+                              dropout_rate=0.0, attention_dropout_rate=0.0,
+                              input_size=512)
+    cfg = FlowConfig(vocab_size=50, encoder=enc_cfg, estimator=EST80)
+    model = CausalMaskedDiffWithXvec(cfg)
+    token = jnp.asarray(rng.integers(0, 50, (2, 6)))
+    token_len = jnp.asarray([6, 4])
+    feat = jnp.asarray(rng.standard_normal((2, 12, 80)).astype(np.float32))
+    feat_len = jnp.asarray([12, 8])
+    emb = jnp.asarray(rng.standard_normal((2, 192)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), token, token_len, feat, feat_len,
+                        emb, jax.random.PRNGKey(1), deterministic=True)
+    out = model.apply(params, token, token_len, feat, feat_len, emb,
+                      jax.random.PRNGKey(2), deterministic=True)
+    assert np.isfinite(float(out["loss"]))
