@@ -252,16 +252,19 @@ class CausalConditionalCFM(nn.Module):
         ts = t_span[:-1]
         dts = t_span[1:] - t_span[:-1]
 
-        def step(x, t_dt):
+        def step(mdl, x, t_dt):
             t, dt = t_dt
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.full((2 * B,), t, x.dtype)
-            v = self.estimator(x2, mask2, mu2, t2, spks2, cond2, streaming)
+            v = mdl.estimator(x2, mask2, mu2, t2, spks2, cond2, streaming)
             v_cond, v_uncond = v[:B], v[B:]
             dphi = (1.0 + r) * v_cond - r * v_uncond
             return x + dt * dphi, None
 
-        x, _ = jax.lax.scan(step, x, (ts, dts))
+        # lifted scan: estimator params broadcast across steps, compiled once
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        x, _ = scan(self, x, (ts, dts))
         return x
 
     def compute_loss(self, x1, mask, mu, spks, cond, rng, streaming=False):

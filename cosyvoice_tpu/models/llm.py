@@ -1,0 +1,322 @@
+"""CosyVoice2 speech-token LLM: Qwen2 body + speech head + AR decode loop.
+
+Behavioral spec: reference `cosyvoice/llm/llm.py:769-874` (Qwen2LM):
+  * inputs: [sos_eos_emb, qwen_embed(prompt_text ++ text), task_id_emb,
+    speech_embedding(prompt_speech_tokens)]; vocab = speech_token_size+3
+    (eos = 6561, then 2 "fill" ids); llm_embedding has exactly 2 rows
+    (sos_eos=0, task_id=1)
+  * decode: causal, KV-cached, one token/step; log_softmax -> RAS/nucleus
+    sampling; EOS rejected while step < min_len (= 2x new-text tokens);
+    stop at EOS or max_len (= 20x new-text tokens); sampled ids above EOS are
+    NOT emitted and the previous input embedding is fed again (llm.py:869-870)
+  * training target (shape per Qwen2LM_Phoneme, llm.py:996-1001, minus the
+    phoneme stream): [IGNORE x (1 + text_len), speech tokens, EOS], masked
+    label-smoothing CE.
+
+TPU-first: the whole decode loop is ONE jitted lax.while_loop over a static
+KV cache (no per-token host round-trip — the reference pays a .item() sync
+every token, llm.py:866); sampling runs on device (ops/sampling); min_len EOS
+suppression is a logit mask rather than the reference's re-draw loop
+(distribution equal conditional on the nucleus set, and deterministic).
+Sequence construction for training uses index arithmetic on static shapes
+instead of unpad/concat/repad.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.models.qwen2 import (KVCache, Qwen2Config, Qwen2Model,
+                                        causal_prefill_bias, decode_step_bias)
+from cosyvoice_tpu.ops import sampling as samp
+from cosyvoice_tpu.ops.masks import NEG_INF, make_non_pad_mask
+
+IGNORE_ID = -1
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    method: str = "ras"  # ras | non_random_ras | nucleus | greedy
+    top_p: float = 0.8
+    top_k: int = 25
+    win_size: int = 10
+    tau_r: float = 0.1
+    expand_scale: int = 2
+
+
+@dataclass(frozen=True)
+class LMConfig:
+    llm_input_size: int = 896
+    llm_output_size: int = 896
+    speech_token_size: int = 6561
+    length_normalized_loss: bool = True
+    lsm_weight: float = 0.0
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    qwen: Qwen2Config = field(default_factory=Qwen2Config)
+    min_token_text_ratio: float = 2.0
+    max_token_text_ratio: float = 20.0
+
+    @property
+    def sos_eos(self) -> int:
+        return 0
+
+    @property
+    def task_id(self) -> int:
+        return 1
+
+    @property
+    def eos_token(self) -> int:
+        return self.speech_token_size  # 6561
+
+
+class Qwen2LM(nn.Module):
+    cfg: LMConfig = field(default_factory=LMConfig)
+
+    def setup(self):
+        cfg = self.cfg
+        self.llm = Qwen2Model(cfg.qwen)
+        self.llm_embedding = nn.Embed(2, cfg.llm_input_size)
+        self.speech_embedding = nn.Embed(cfg.speech_token_size + 3, cfg.llm_input_size)
+        self.llm_decoder = nn.Dense(cfg.speech_token_size + 3)
+
+    # ---- embedding builders -------------------------------------------------
+
+    def prefill_embeds(self, text: jax.Array, text_len: jax.Array,
+                       prompt_speech: jax.Array, prompt_speech_len: jax.Array
+                       ) -> tuple[jax.Array, jax.Array]:
+        """Pack [sos, text_emb, task, speech_emb] per batch row (right-padded).
+
+        text [B, Tt] (prompt_text ++ text, padded), prompt_speech [B, Ts].
+        Returns (embeds [B, 1+Tt+1+Ts, D], seq_len [B]).
+        """
+        B, Tt = text.shape
+        Ts = prompt_speech.shape[1]
+        D = self.cfg.llm_input_size
+        text_emb = self.llm.embed(text)                       # [B, Tt, D]
+        speech_emb = self.speech_embedding(prompt_speech)     # [B, Ts, D]
+        sos = self.llm_embedding(jnp.full((B, 1), self.cfg.sos_eos))
+        task = self.llm_embedding(jnp.full((B, 1), self.cfg.task_id))
+
+        N = 1 + Tt + 1 + Ts
+        pos = jnp.arange(N)[None, :]                          # [1, N]
+        tl = text_len[:, None]
+        # segment boundaries per row
+        in_text = (pos >= 1) & (pos < 1 + tl)
+        is_task = pos == 1 + tl
+        in_speech = (pos > 1 + tl) & (pos < 2 + tl + prompt_speech_len[:, None])
+        text_idx = jnp.clip(pos - 1, 0, Tt - 1)
+        speech_idx = jnp.clip(pos - 2 - tl, 0, max(Ts - 1, 0))
+        # gather along time with per-row indices
+        gt = jnp.take_along_axis(text_emb, jnp.broadcast_to(text_idx, (B, N))[..., None], axis=1)
+        gs = (jnp.take_along_axis(speech_emb, jnp.broadcast_to(speech_idx, (B, N))[..., None], axis=1)
+              if Ts > 0 else jnp.zeros((B, N, D), text_emb.dtype))
+        emb = jnp.where(pos[..., None] == 0, sos,
+              jnp.where(in_text[..., None], gt,
+              jnp.where(is_task[..., None], task,
+              jnp.where(in_speech[..., None], gs, 0.0))))
+        seq_len = 2 + text_len + prompt_speech_len
+        return emb, seq_len
+
+    # ---- forward pieces (jit-composable) -----------------------------------
+
+    def forward_hidden(self, embeds, positions, attn_bias, cache=None):
+        return self.llm(embeds, positions, attn_bias, cache)
+
+    def decode_logits(self, hidden):
+        return self.llm_decoder(hidden)
+
+    def speech_emb(self, tokens):
+        return self.speech_embedding(tokens)
+
+    # ---- training -----------------------------------------------------------
+
+    def __call__(self, text: jax.Array, text_len: jax.Array,
+                 speech: jax.Array, speech_len: jax.Array) -> dict:
+        """Masked CE over [IGNORE x (1+text_len), speech, EOS] (llm.py:996-1001)."""
+        cfg = self.cfg
+        emb, seq_len = self.prefill_embeds(text, text_len, speech, speech_len)
+        B, N, _ = emb.shape
+        pad = make_non_pad_mask(seq_len, N)
+        bias = jnp.where(pad[:, None, None, :], 0.0, NEG_INF).astype(emb.dtype)
+        # training uses full (non-causal-masked... actually full) attention over
+        # valid positions like the reference (llm.py:1043-1050 uses pad mask
+        # only with decoding_chunk_size=-1 => full context)
+        positions = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
+        hidden, _ = self.llm(emb, positions, bias)
+        logits = self.llm_decoder(hidden)
+
+        pos = jnp.arange(N)[None, :]
+        tl = text_len[:, None]
+        sl = speech_len[:, None]
+        sp_idx = jnp.clip(pos - 1 - tl, 0, speech.shape[1] - 1)
+        tgt_speech = jnp.take_along_axis(speech, jnp.broadcast_to(sp_idx, (B, N)), axis=1)
+        is_speech = (pos >= 1 + tl) & (pos < 1 + tl + sl)
+        is_eos = pos == 1 + tl + sl
+        target = jnp.where(is_speech, tgt_speech,
+                 jnp.where(is_eos, cfg.eos_token, IGNORE_ID))
+        return {"loss": masked_ce_loss(logits, target, cfg.lsm_weight,
+                                       cfg.length_normalized_loss),
+                "acc": masked_accuracy(logits, target)}
+
+
+def masked_ce_loss(logits, target, smoothing=0.0, length_normalized=True):
+    """wenet LabelSmoothingLoss semantics with IGNORE_ID masking."""
+    V = logits.shape[-1]
+    valid = target != IGNORE_ID
+    tgt = jnp.maximum(target, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if smoothing > 0.0:
+        # wenet LabelSmoothingLoss: KL(true_dist || p) with true_dist =
+        # confidence at target, smoothing/(V-1) elsewhere
+        conf = 1.0 - smoothing
+        sm = smoothing / (V - 1)
+        onehot = jax.nn.one_hot(tgt, V, dtype=logp.dtype)
+        true_dist = onehot * conf + (1.0 - onehot) * sm
+        nll = jnp.sum(true_dist * (jnp.log(jnp.maximum(true_dist, 1e-12)) - logp), axis=-1)
+    else:
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.sum(valid) if length_normalized else logits.shape[0]
+    return jnp.sum(nll) / jnp.maximum(denom, 1)
+
+
+def masked_accuracy(logits, target):
+    valid = target != IGNORE_ID
+    pred = jnp.argmax(logits, axis=-1)
+    return jnp.sum((pred == target) & valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+# --------------------------------------------------------------------------
+# jitted AR generation
+# --------------------------------------------------------------------------
+
+class GenState(NamedTuple):
+    cache: KVCache
+    prev_emb: jax.Array     # [B, 1, D] next input embedding
+    step: jax.Array         # decode step counter (incl. non-emitted)
+    count: jax.Array        # number of emitted tokens
+    done: jax.Array         # [B] bool
+    out: jax.Array          # [B, cap] emitted tokens
+    recent: jax.Array       # [B, win] last emitted (for RAS)
+    recent_n: jax.Array     # [B] number valid in recent
+    rng: jax.Array
+
+
+def _sample(cfg: SamplingConfig, rng, logp, recent, recent_valid):
+    if cfg.method == "greedy":
+        return samp.greedy_sample(logp)
+    if cfg.method == "nucleus":
+        return samp.nucleus_sample(rng, logp, cfg.top_p, cfg.top_k)
+    if cfg.method == "ras":
+        return samp.ras_sample(rng, logp, recent, recent_valid, cfg.top_p,
+                               cfg.top_k, cfg.win_size, cfg.tau_r)
+    if cfg.method == "non_random_ras":
+        return samp.non_random_ras_sample(rng, logp, recent, recent_valid,
+                                          cfg.top_p, cfg.top_k, cfg.win_size,
+                                          cfg.tau_r, cfg.expand_scale)
+    raise ValueError(cfg.method)
+
+
+@partial(jax.jit, static_argnames=("model", "max_steps", "cache_len"))
+def lm_generate(model: Qwen2LM, params, text, text_len, prompt_speech,
+                prompt_speech_len, min_len, max_len, rng,
+                max_steps: int, cache_len: int):
+    """Full AR generation in one jit: returns (tokens [B, max_steps], count [B]).
+
+    text [B, Tt] = prompt_text ++ text (padded); min/max_len [B] dynamic from
+    the ratios; max_steps/cache_len static (bucketed by the caller).
+    """
+    cfg = model.cfg
+    eos = cfg.eos_token
+    B = text.shape[0]
+
+    embeds, seq_len = model.apply(params, text, text_len, prompt_speech,
+                                  prompt_speech_len, method=Qwen2LM.prefill_embeds)
+    Tp = embeds.shape[1]
+    cache = KVCache.create(cfg.qwen, B, cache_len, dtype=embeds.dtype)
+    bias = causal_prefill_bias(Tp, cache_len, seq_len, B, embeds.dtype)
+    positions = jnp.broadcast_to(jnp.arange(Tp)[None], (B, Tp))
+    hidden, cache = model.apply(params, embeds, positions, bias, cache,
+                                method=Qwen2LM.forward_hidden)
+    # cache.pos advanced by Tp, but per-row valid length is seq_len; decode
+    # positions & bias must follow per-row seq_len.  For B=1 (the streaming
+    # session case) seq_len == Tp is enforced by the caller's exact packing.
+    last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
+
+    win = cfg.sampling.win_size
+    state = GenState(
+        cache=cache,
+        prev_emb=jnp.zeros((B, 1, embeds.shape[-1]), embeds.dtype),
+        step=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        out=jnp.zeros((B, max_steps), jnp.int32),
+        recent=jnp.zeros((B, win), jnp.int32),
+        recent_n=jnp.zeros((B,), jnp.int32),
+        rng=rng,
+    )
+
+    def sample_from(hidden_last, state):
+        logits = model.apply(params, hidden_last, method=Qwen2LM.decode_logits)
+        logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
+        # suppress EOS while step < min_len (mask instead of re-draw)
+        suppress = state.step < min_len
+        logp = jnp.where(suppress[:, None] & (jnp.arange(logp.shape[-1])[None] == eos),
+                         NEG_INF, logp)
+        rng, k = jax.random.split(state.rng)
+        rv = jnp.arange(win)[None] < state.recent_n[:, None]
+        tok = _sample(cfg.sampling, k, logp, state.recent, rv)
+        return tok, rng
+
+    def advance(state, tok, rng):
+        emitted = (tok < eos) & ~state.done
+        done = state.done | (tok == eos) | (state.step + 1 >= max_len)
+        out = jax.vmap(lambda o, c, t, e: jnp.where(e, o.at[c].set(t), o))(
+            state.out, state.count, tok, emitted)
+        recent = jax.vmap(lambda r, t, e: jnp.where(e, jnp.roll(r, -1).at[-1].set(t), r))(
+            state.recent, tok, emitted)
+        recent_n = jnp.minimum(state.recent_n + emitted, win)
+        new_emb = model.apply(params, tok[:, None], method=Qwen2LM.speech_emb)
+        prev_emb = jnp.where(emitted[:, None, None], new_emb, state.prev_emb)
+        return state._replace(prev_emb=prev_emb, step=state.step + 1,
+                              count=state.count + emitted, done=done, out=out,
+                              recent=recent, recent_n=recent_n, rng=rng)
+
+    tok0, rng0 = sample_from(last, state)
+    state = advance(state._replace(rng=rng0), tok0, rng0)
+
+    def cond(state):
+        return (~jnp.all(state.done)) & (state.step < max_steps)
+
+    def body(state):
+        pos = jnp.broadcast_to(state.cache.pos[None, None], (B, 1))
+        bias = decode_step_bias(state.cache.pos, cache_len, B, state.prev_emb.dtype)
+        hidden, cache = model.apply(params, state.prev_emb, pos, bias,
+                                    state.cache, method=Qwen2LM.forward_hidden)
+        tok, rng = sample_from(hidden, state)
+        return advance(state._replace(cache=cache, rng=rng), tok, rng)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state.out, state.count
+
+
+def import_qwen2lm_torch(state_dict, cfg: LMConfig) -> dict:
+    """reference Qwen2LM state_dict -> params (llm.model.model.* = qwen body)."""
+    from cosyvoice_tpu.models.qwen2 import import_qwen2_torch
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    qwen_sd = {k[len("llm.model."):]: v for k, v in sd.items()
+               if k.startswith("llm.model.")}
+    return {"params": {
+        "llm": import_qwen2_torch(qwen_sd, cfg.qwen)["params"],
+        "llm_embedding": {"embedding": jnp.asarray(sd["llm_embedding.weight"])},
+        "speech_embedding": {"embedding": jnp.asarray(sd["speech_embedding.weight"])},
+        "llm_decoder": {"kernel": jnp.asarray(sd["llm_decoder.weight"].T),
+                        "bias": jnp.asarray(sd["llm_decoder.bias"])},
+    }}

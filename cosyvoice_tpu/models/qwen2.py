@@ -1,0 +1,227 @@
+"""Qwen2 transformer body in JAX with a static preallocated KV cache.
+
+Behavioral spec: HF `transformers` Qwen2 as driven by the reference
+(`cosyvoice/llm/llm.py:743-766` Qwen2Encoder wraps Qwen2ForCausalLM and feeds
+`inputs_embeds` + `past_key_values`; CosyVoice2-0.5B config: hidden 896,
+24 layers, 14 query / 2 kv heads, head_dim 64, intermediate 4864, rope theta
+1e6, rms eps 1e-6, tied embeddings).
+
+TPU-first design (NOT a port of HF):
+  * static shapes: KV cache is [L, B, T_max, kvH, D] written with
+    dynamic_update_slice; decode is one fused step (no concat-grow protocol)
+  * GQA: kv heads kept un-repeated until the einsum — XLA broadcasts on the
+    MXU without materializing the repeat
+  * RMSNorm and logits accumulate in fp32; activations may be bf16
+  * no data-dependent control flow — the decode loop lives in the caller's
+    lax.while_loop (models/llm.py)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.ops.masks import NEG_INF
+
+
+@dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    num_layers: int = 24
+    num_heads: int = 14
+    num_kv_heads: int = 2
+    head_dim: int = 64
+    intermediate_size: int = 4864
+    rope_theta: float = 1e6
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer KV: k/v [L, B, T_max, kvH, D], filled length in `pos`."""
+
+    k: jax.Array
+    v: jax.Array
+    pos: jax.Array  # scalar int32: number of valid positions
+
+    @staticmethod
+    def create(cfg: Qwen2Config, batch: int, max_len: int, dtype=None) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        dt = dtype or cfg.dtype
+        return KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt),
+                       jnp.zeros((), jnp.int32))
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * weight.astype(jnp.float32)).astype(dt)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
+    """positions [B, T] -> cos/sin [B, T, head_dim] (HF half-rotation layout)."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
+    ang = positions[..., None].astype(jnp.float32) * inv_freq[None, None, :]
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
+    return cos.astype(dtype), sin.astype(dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, T, H, D]; rotate_half convention: (x*cos) + (rot(x)*sin)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, :, None, :] + rot * sin[:, :, None, :]
+
+
+class Qwen2Layer(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x, cos, sin, attn_bias, layer_cache=None, cache_pos=None):
+        """x [B, T, D]; attn_bias [B, 1, T, Tk] additive (already includes
+        causal+pad); layer_cache: optional (k, v) [B, T_max, kvH, hd] to
+        read+write at cache_pos.  Returns (x, (new_k, new_v))."""
+        cfg = self.cfg
+        H, KH, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        B, T, _ = x.shape
+        h = rms_norm(x, self.param("input_layernorm", nn.initializers.ones,
+                                   (cfg.hidden_size,)), cfg.rms_norm_eps)
+        q = nn.Dense(H * HD, name="q_proj")(h).reshape(B, T, H, HD)
+        k = nn.Dense(KH * HD, name="k_proj")(h).reshape(B, T, KH, HD)
+        v = nn.Dense(KH * HD, name="v_proj")(h).reshape(B, T, KH, HD)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if layer_cache is not None:
+            ck, cv = layer_cache
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+            k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
+            new_cache = (ck, cv)
+        else:
+            k_all, v_all = k, v
+            new_cache = None
+
+        g = H // KH  # query groups per kv head
+        qg = q.reshape(B, T, KH, g, HD)
+        scores = jnp.einsum("bikgd,bjkd->bkgij", qg, k_all,
+                            preferred_element_type=jnp.float32) / np.sqrt(HD)
+        scores = scores + attn_bias[:, :, None, :, :]
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bkgij,bjkd->bikgd", attn, v_all).reshape(B, T, H * HD)
+        x = x + nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(o)
+
+        h = rms_norm(x, self.param("post_attention_layernorm", nn.initializers.ones,
+                                   (cfg.hidden_size,)), cfg.rms_norm_eps)
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, name="gate_proj")(h)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, name="up_proj")(h)
+        x = x + nn.Dense(cfg.hidden_size, use_bias=False, name="down_proj")(
+            jax.nn.silu(gate) * up)
+        return x, new_cache
+
+
+class Qwen2Model(nn.Module):
+    """Decoder-only body; call with embeddings (the TTS LM never uses input ids
+    directly except through embed_tokens, exposed via `embed`)."""
+
+    cfg: Qwen2Config
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(self.cfg.vocab_size, self.cfg.hidden_size,
+                                     name="embed_tokens")
+        self.layers = [Qwen2Layer(self.cfg, name=f"layers_{i}")
+                       for i in range(self.cfg.num_layers)]
+        self.norm_w = self.param("norm", nn.initializers.ones, (self.cfg.hidden_size,))
+
+    def embed(self, ids: jax.Array) -> jax.Array:
+        return self.embed_tokens(ids)
+
+    def __call__(self, embeds: jax.Array, positions: jax.Array,
+                 attn_bias: jax.Array, cache: Optional[KVCache] = None):
+        """embeds [B, T, D], positions [B, T], attn_bias [B, 1, T, Tk].
+
+        With a cache: writes K/V at cache.pos and attends over the whole
+        cache buffer (bias must mask unwritten tail).  Returns
+        (hidden [B, T, D] final-normed, new_cache).
+        """
+        cfg = self.cfg
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, embeds.dtype)
+        x = embeds
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            lc = (cache.k[i], cache.v[i]) if cache is not None else None
+            x, nc = layer(x, cos, sin, attn_bias, lc,
+                          cache.pos if cache is not None else None)
+            if nc is not None:
+                new_k.append(nc[0])
+                new_v.append(nc[1])
+        x = rms_norm(x, self.norm_w, cfg.rms_norm_eps)
+        if cache is not None:
+            cache = KVCache(jnp.stack(new_k), jnp.stack(new_v),
+                            cache.pos + embeds.shape[1])
+        return x, cache
+
+
+def causal_prefill_bias(T: int, max_len: int, lens: Optional[jax.Array] = None,
+                        batch: int = 1, dtype=jnp.float32) -> jax.Array:
+    """[B, 1, T, max_len] additive bias: causal over [0, T), -inf beyond."""
+    q = jnp.arange(T)[:, None]
+    k = jnp.arange(max_len)[None, :]
+    ok = k <= q
+    bias = jnp.where(ok, 0.0, NEG_INF).astype(dtype)
+    bias = jnp.broadcast_to(bias[None, None], (batch, 1, T, max_len))
+    if lens is not None:  # right-padded batch: also mask key positions >= len
+        key_ok = k[None] < lens[:, None, None]
+        bias = jnp.where(key_ok[:, None], bias, NEG_INF)
+    return bias
+
+
+def decode_step_bias(pos: jax.Array, max_len: int, batch: int = 1,
+                     dtype=jnp.float32) -> jax.Array:
+    """[B, 1, 1, max_len]: attend to cache[0..pos], mask the unwritten tail."""
+    k = jnp.arange(max_len)[None, None, None, :]
+    return jnp.where(k <= pos, 0.0, NEG_INF).astype(dtype) * jnp.ones((batch, 1, 1, 1), dtype)
+
+
+# --------------------------------------------------------------------------
+# HF checkpoint import
+# --------------------------------------------------------------------------
+
+def import_qwen2_torch(state_dict, cfg: Qwen2Config) -> dict:
+    """HF Qwen2ForCausalLM state_dict (model.* prefix) -> params pytree."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def dense(prefix, bias):
+        p = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T)}
+        if bias:
+            p["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        return p
+
+    params = {
+        "embed_tokens": {"embedding": jnp.asarray(sd["model.embed_tokens.weight"])},
+        "norm": jnp.asarray(sd["model.norm.weight"]),
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        params[f"layers_{i}"] = {
+            "input_layernorm": jnp.asarray(sd[f"{p}.input_layernorm.weight"]),
+            "post_attention_layernorm": jnp.asarray(sd[f"{p}.post_attention_layernorm.weight"]),
+            "q_proj": dense(f"{p}.self_attn.q_proj", True),
+            "k_proj": dense(f"{p}.self_attn.k_proj", True),
+            "v_proj": dense(f"{p}.self_attn.v_proj", True),
+            "o_proj": dense(f"{p}.self_attn.o_proj", False),
+            "gate_proj": dense(f"{p}.mlp.gate_proj", False),
+            "up_proj": dense(f"{p}.mlp.up_proj", False),
+            "down_proj": dense(f"{p}.mlp.down_proj", False),
+        }
+    return {"params": params}

@@ -1,0 +1,141 @@
+"""Golden parity: JAX Qwen2 body + Qwen2LM AR decode vs HF/reference."""
+import json
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.reference_util import ref_state_dict
+from cosyvoice_tpu.models.qwen2 import (KVCache, Qwen2Config, Qwen2Model,
+                                        causal_prefill_bias, decode_step_bias,
+                                        import_qwen2_torch)
+from cosyvoice_tpu.models.llm import (LMConfig, Qwen2LM, SamplingConfig,
+                                      import_qwen2lm_torch, lm_generate)
+
+TINY = Qwen2Config(vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+                   num_kv_heads=2, head_dim=8, intermediate_size=64,
+                   rope_theta=10000.0)
+
+
+def _hf_tiny():
+    from transformers import Qwen2Config as HFConfig
+    from transformers import Qwen2ForCausalLM
+
+    torch.manual_seed(0)
+    cfg = HFConfig(vocab_size=TINY.vocab_size, hidden_size=TINY.hidden_size,
+                   num_hidden_layers=TINY.num_layers,
+                   num_attention_heads=TINY.num_heads,
+                   num_key_value_heads=TINY.num_kv_heads,
+                   intermediate_size=TINY.intermediate_size,
+                   max_position_embeddings=512, rope_theta=TINY.rope_theta,
+                   tie_word_embeddings=True, attn_implementation="eager")
+    return Qwen2ForCausalLM(cfg).eval()
+
+
+def test_qwen2_body_parity(rng):
+    hf = _hf_tiny()
+    B, T = 2, 9
+    embeds = rng.standard_normal((B, T, TINY.hidden_size)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(inputs_embeds=torch.from_numpy(embeds), output_hidden_states=True,
+                 return_dict=True)
+    hid_ref = out.hidden_states[-1].numpy()
+
+    model = Qwen2Model(TINY)
+    params = import_qwen2_torch(ref_state_dict(hf), TINY)
+    bias = causal_prefill_bias(T, T, None, B)
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    hid_j, _ = model.apply(params, jnp.asarray(embeds), pos, bias)
+    np.testing.assert_allclose(np.asarray(hid_j), hid_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_qwen2_cached_decode_matches_full(rng):
+    """Prefill + single-step cached decode == full forward (self-consistency)."""
+    model = Qwen2Model(TINY)
+    B, T = 1, 7
+    embeds = jnp.asarray(rng.standard_normal((B, T, TINY.hidden_size)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), embeds,
+                        jnp.zeros((B, T), jnp.int32),
+                        causal_prefill_bias(T, T, None, B))
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    full, _ = model.apply(params, embeds, pos, causal_prefill_bias(T, T, None, B))
+
+    cache = KVCache.create(TINY, B, 16)
+    h, cache = model.apply(params, embeds[:, :4], pos[:, :4],
+                           causal_prefill_bias(4, 16, None, B), cache)
+    for t in range(4, T):
+        bias = decode_step_bias(cache.pos, 16, B)
+        h, cache = model.apply(params, embeds[:, t:t + 1],
+                               jnp.full((B, 1), t), bias, cache)
+        np.testing.assert_allclose(np.asarray(h[:, 0]), np.asarray(full[:, t]),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def _ref_lm(tmp_path, speech_token_size=20):
+    from cosyvoice.llm.llm import Qwen2Encoder, Qwen2LM as RefLM
+
+    hf_cfg = dict(vocab_size=TINY.vocab_size, hidden_size=TINY.hidden_size,
+                  num_hidden_layers=TINY.num_layers,
+                  num_attention_heads=TINY.num_heads,
+                  num_key_value_heads=TINY.num_kv_heads,
+                  intermediate_size=TINY.intermediate_size,
+                  max_position_embeddings=512, rope_theta=TINY.rope_theta,
+                  tie_word_embeddings=True, attn_implementation="eager")
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+    torch.manual_seed(0)
+    enc = Qwen2Encoder(str(tmp_path))
+
+    def greedy(weighted_scores, decoded_tokens, sampling):
+        return weighted_scores.argmax().unsqueeze(0)
+
+    ref = RefLM(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
+                speech_token_size=speech_token_size, llm=enc, sampling=greedy).eval()
+    return ref
+
+
+def test_lm_greedy_decode_parity(rng, tmp_path):
+    S = 20  # tiny speech vocab; eos = 20
+    ref = _ref_lm(tmp_path, S)
+    text = rng.integers(0, TINY.vocab_size, (1, 6)).astype(np.int64)
+    prompt_speech = rng.integers(0, S, (1, 5)).astype(np.int64)
+    with torch.no_grad():
+        toks_ref = list(ref.inference(
+            text=torch.from_numpy(text[:, 2:]), text_len=torch.tensor([4]),
+            prompt_text=torch.from_numpy(text[:, :2]), prompt_text_len=torch.tensor([2]),
+            prompt_speech_token=torch.from_numpy(prompt_speech),
+            prompt_speech_token_len=torch.tensor([5]),
+            embedding=torch.zeros(1, 0),
+            min_token_text_ratio=0, max_token_text_ratio=5))
+
+    cfg = LMConfig(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
+                   speech_token_size=S, qwen=TINY,
+                   sampling=SamplingConfig(method="greedy"))
+    model = Qwen2LM(cfg)
+    params = import_qwen2lm_torch(ref_state_dict(ref), cfg)
+    max_len = 4 * 5  # text_len * max_ratio
+    out, count = lm_generate(model, params, jnp.asarray(text), jnp.asarray([6]),
+                             jnp.asarray(prompt_speech), jnp.asarray([5]),
+                             jnp.asarray([0]), jnp.asarray([max_len]),
+                             jax.random.PRNGKey(0), max_steps=24, cache_len=64)
+    toks_j = list(np.asarray(out[0][: int(count[0])]))
+    assert toks_j == toks_ref, (toks_j, toks_ref)
+
+
+def test_lm_training_loss(rng, tmp_path):
+    S = 20
+    cfg = LMConfig(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
+                   speech_token_size=S, qwen=TINY)
+    model = Qwen2LM(cfg)
+    text = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 6)))
+    text_len = jnp.asarray([6, 4])
+    speech = jnp.asarray(rng.integers(0, S, (2, 10)))
+    speech_len = jnp.asarray([10, 7])
+    params = model.init(jax.random.PRNGKey(0), text, text_len, speech, speech_len)
+    out = model.apply(params, text, text_len, speech, speech_len)
+    assert np.isfinite(float(out["loss"]))
+    assert 0.0 <= float(out["acc"]) <= 1.0
+    # CE at init should be ~log(V)
+    assert abs(float(out["loss"]) - np.log(S + 3)) < 1.0
