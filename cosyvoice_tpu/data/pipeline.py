@@ -1,0 +1,241 @@
+"""Composable streaming data pipeline for training (host-side, numpy).
+
+Behavioral spec: reference `cosyvoice/dataset/dataset.py` (DataList shard
+list + rank->worker partition + Processor generator chain, :52-164) and
+`cosyvoice/dataset/processor.py` (filter:59, resample:111, compute_fbank:160,
+tokenize:221, shuffle:240, sort:264, static_batch:292, dynamic_batch:312,
+padding:355).  TPU-first: emits right-padded fixed-bucket numpy batches ready
+for `shard_batch` (no torch, no DataLoader workers — stages are generator
+transforms composed functionally; parallelism comes from the data mesh axis,
+sharded per-host by `shard(rank, world)`).
+"""
+from __future__ import annotations
+
+import json
+import random
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+from cosyvoice_tpu.ops.mel import log_mel_spectrogram
+
+
+class Pipeline:
+    """source iterable + chain of generator transforms."""
+
+    def __init__(self, source: Iterable, *stages: Callable):
+        self.source = source
+        self.stages = list(stages)
+
+    def map(self, stage: Callable) -> "Pipeline":
+        return Pipeline(self.source, *self.stages, stage)
+
+    def __iter__(self) -> Iterator:
+        it = iter(self.source)
+        for stage in self.stages:
+            it = stage(it)
+        return it
+
+
+def shard_list(items: list, rank: int, world_size: int, shuffle: bool = True,
+               seed: int = 0, epoch: int = 0) -> list:
+    """Partition the shard list across hosts (dataset.py:52-105 semantics)."""
+    items = list(items)
+    if shuffle:
+        random.Random(seed + epoch).shuffle(items)
+    return items[rank::world_size]
+
+
+# ---- stages (each: iterator -> iterator) ---------------------------------
+
+def jsonl_opener(it):
+    """lines of json files -> sample dicts (dataset_jsondata-style lists)."""
+    for path in it:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+
+
+def filter_samples(max_length=10240, min_length=10, token_max_length=200,
+                   token_min_length=1, min_output_input_ratio=0.0005,
+                   max_output_input_ratio=30.0):
+    """Length/ratio gates (processor.py:59-108); lengths in 10ms frames."""
+
+    def stage(it):
+        for s in it:
+            dur_frames = len(s["speech"]) / s["sample_rate"] * 100
+            if not (min_length <= dur_frames <= max_length):
+                continue
+            if "text_token" in s:
+                n = len(s["text_token"])
+                if not (token_min_length <= n <= token_max_length):
+                    continue
+                r = n / dur_frames
+                if not (min_output_input_ratio <= r <= max_output_input_ratio):
+                    continue
+            yield s
+
+    return stage
+
+
+def resample(target_sr=24000, min_sample_rate=16000):
+    def stage(it):
+        from cosyvoice_tpu.runtime.frontend import resample_poly
+
+        for s in it:
+            sr = s["sample_rate"]
+            if sr != target_sr:
+                if sr < min_sample_rate:
+                    continue
+                s["speech"] = resample_poly(s["speech"], sr, target_sr)
+                s["sample_rate"] = target_sr
+            peak = np.abs(s["speech"]).max()
+            if peak > 1.0:  # peak normalize (processor.py:131-134)
+                s["speech"] = s["speech"] / peak
+            yield s
+
+    return stage
+
+
+def compute_fbank(n_fft=1920, hop=480, n_mels=80, sr=24000):
+    """Canonical log-mel (processor_kaldidata.mel_spectrogram) -> [T, n_mels]."""
+
+    def stage(it):
+        for s in it:
+            mel = log_mel_spectrogram(s["speech"][None], n_fft=n_fft,
+                                      n_mels=n_mels, sr=sr, hop=hop, win=n_fft)
+            s["speech_feat"] = np.asarray(mel)[0].T.astype(np.float32)
+            yield s
+
+    return stage
+
+
+def tokenize(tokenizer):
+    def stage(it):
+        for s in it:
+            s["text_token"] = np.asarray(tokenizer.encode(s["text"]), np.int32)
+            yield s
+
+    return stage
+
+
+def shuffle(buf_size=10000, seed=0):
+    def stage(it):
+        rng = random.Random(seed)
+        buf = []
+        for s in it:
+            buf.append(s)
+            if len(buf) >= buf_size:
+                rng.shuffle(buf)
+                yield from buf
+                buf = []
+        rng.shuffle(buf)
+        yield from buf
+
+    return stage
+
+
+def sort_by_feat_len(buf_size=500):
+    """Local sort so batches have homogeneous lengths (processor.py:264-290)."""
+
+    def stage(it):
+        buf = []
+        for s in it:
+            buf.append(s)
+            if len(buf) >= buf_size:
+                buf.sort(key=lambda x: x["speech_feat"].shape[0])
+                yield from buf
+                buf = []
+        buf.sort(key=lambda x: x["speech_feat"].shape[0])
+        yield from buf
+
+    return stage
+
+
+def static_batch(batch_size=8):
+    def stage(it):
+        buf = []
+        for s in it:
+            buf.append(s)
+            if len(buf) >= batch_size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    return stage
+
+
+def dynamic_batch(max_frames_in_batch=2000):
+    """Batch until total padded frames exceed the cap (processor.py:312-352)."""
+
+    def stage(it):
+        buf, longest = [], 0
+        for s in it:
+            n = s["speech_feat"].shape[0]
+            longest = max(longest, n)
+            if longest * (len(buf) + 1) > max_frames_in_batch and buf:
+                yield buf
+                buf, longest = [], n
+            buf.append(s)
+        if buf:
+            yield buf
+
+    return stage
+
+
+def _pad_to(arrs: list[np.ndarray], length: int, value=0) -> np.ndarray:
+    out = np.full((len(arrs), length) + arrs[0].shape[1:], value,
+                  dtype=arrs[0].dtype)
+    for i, a in enumerate(arrs):
+        out[i, : len(a)] = a
+    return out
+
+
+def round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def padding(use_spk_embedding=False, gan=False, bucket_multiple=32):
+    """list of samples -> padded numpy batch dict (processor.py:355-431).
+
+    Lengths are rounded UP to `bucket_multiple` so the jit sees a small set
+    of static shapes (the TPU replacement for torch's per-batch dynamic pad).
+    """
+
+    def stage(it):
+        for samples in it:
+            samples = sorted(samples, key=lambda s: s["speech_feat"].shape[0],
+                             reverse=True)
+            batch = {"utts": [s.get("utt", "") for s in samples]}
+            feat_len = np.asarray([s["speech_feat"].shape[0] for s in samples], np.int32)
+            L = round_up(int(feat_len.max()), bucket_multiple)
+            batch["speech_feat"] = _pad_to([s["speech_feat"] for s in samples], L)
+            batch["speech_feat_len"] = feat_len
+            if "speech_token" in samples[0]:
+                tok_len = np.asarray([len(s["speech_token"]) for s in samples], np.int32)
+                Lt = round_up(int(tok_len.max()), bucket_multiple // 2)
+                batch["speech_token"] = _pad_to(
+                    [np.asarray(s["speech_token"], np.int32) for s in samples], Lt)
+                batch["speech_token_len"] = tok_len
+            if "text_token" in samples[0]:
+                txt_len = np.asarray([len(s["text_token"]) for s in samples], np.int32)
+                Lx = round_up(int(txt_len.max()), 8)
+                batch["text_token"] = _pad_to(
+                    [np.asarray(s["text_token"], np.int32) for s in samples], Lx)
+                batch["text_token_len"] = txt_len
+            if "embedding" in samples[0]:
+                key = "spk_embedding" if use_spk_embedding else "embedding"
+                batch["embedding"] = np.stack(
+                    [np.asarray(s.get(key, s["embedding"]), np.float32) for s in samples])
+            if gan:
+                sp_len = np.asarray([len(s["speech"]) for s in samples], np.int32)
+                Ls = round_up(int(sp_len.max()), 480 * bucket_multiple)
+                batch["speech"] = _pad_to(
+                    [np.asarray(s["speech"], np.float32) for s in samples], Ls)
+                batch["speech_len"] = sp_len
+            yield batch
+
+    return stage

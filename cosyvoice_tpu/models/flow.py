@@ -207,8 +207,8 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def _fixed_noise(frames: int) -> np.ndarray:
-    return np.random.default_rng(0).standard_normal((1, frames, 80)).astype(np.float32)
+def _fixed_noise(frames: int, channels: int = 80) -> np.ndarray:
+    return np.random.default_rng(0).standard_normal((1, frames, channels)).astype(np.float32)
 
 
 def cosine_t_span(n_timesteps: int, dtype=jnp.float32) -> jax.Array:
@@ -229,7 +229,7 @@ class CausalConditionalCFM(nn.Module):
     def rand_noise(self) -> jax.Array:
         # framework-seeded reproducible noise (reference pins torch seed 0;
         # inject its dump through `noise` for cross-framework parity)
-        return jnp.asarray(_fixed_noise(self.cfg.noise_frames))
+        return jnp.asarray(_fixed_noise(self.cfg.noise_frames, self.est_cfg.out_channels))
 
     def __call__(self, mu: jax.Array, mask: jax.Array, spks: jax.Array,
                  cond: jax.Array, n_timesteps: int = 10, temperature: float = 1.0,

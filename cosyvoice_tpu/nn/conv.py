@@ -126,6 +126,44 @@ class CausalConv1d(nn.Module):
                       weight_norm=self.weight_norm, name="conv")(x)
 
 
+class Conv2d(nn.Module):
+    """torch.nn.Conv2d-compatible conv on [B, H, W, C] tensors."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k_shape = (*self.kernel_size, in_ch, self.features)
+        if self.weight_norm:
+            v = self.param("v", nn.initializers.lecun_normal(), k_shape)
+            g = self.param("g", lambda key, shape: jnp.ones(shape),
+                           (1, 1, 1, self.features))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True))
+            kernel = g * v / norm
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(), k_shape)
+        y = lax.conv_general_dilated(
+            x, kernel, window_strides=self.stride,
+            padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+def torch_conv2d_weight(w) -> jnp.ndarray:
+    """torch Conv2d weight [out, in, kh, kw] -> ours [kh, kw, in, out]."""
+    import numpy as np
+
+    return jnp.asarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
 def torch_conv_weight(w) -> jnp.ndarray:
     """torch Conv1d weight [out, in, k] -> ours [k, in, out]."""
     import numpy as np

@@ -1,0 +1,155 @@
+"""User-facing CosyVoice2 API.
+
+Behavioral spec: reference `cosyvoice/cli/cosyvoice.py` — CosyVoice2 class
+(:128-174): per-mode `inference_*` generators that normalize + split the text
+and loop over `model.tts()`, logging RTF per yielded chunk (:74).
+
+Construction here is explicit (models + params + frontend) rather than the
+reference's hyperpyyaml side-effect loading; `from_pretrained` assembles the
+stack from a checkpoint directory (torch .pt checkpoints are imported through
+the per-model importers).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from cosyvoice_tpu.runtime.frontend import CosyVoiceFrontEnd
+from cosyvoice_tpu.runtime.model import CosyVoice2Model
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class CosyVoice2:
+    frontend: CosyVoiceFrontEnd
+    model: CosyVoice2Model
+    sample_rate: int = 24000
+
+    def list_available_spks(self) -> list[str]:
+        return list(self.frontend.spk2info.keys())
+
+    # ------------------------------------------------------------------
+
+    def _run(self, model_input: dict, stream: bool, speed: float,
+             rng=None) -> Iterator[dict]:
+        text = model_input["text"]
+        ptext = model_input.get("prompt_text", np.zeros(0, np.int32))
+        full_text = np.concatenate([ptext, text]).astype(np.int32)
+        start = time.time()
+        for out in self.model.tts(
+                text_tokens=full_text,
+                prompt_text_len=len(ptext),
+                llm_prompt_speech_token=model_input.get(
+                    "llm_prompt_speech_token", np.zeros(0, np.int32)),
+                flow_prompt_speech_token=model_input.get(
+                    "flow_prompt_speech_token", np.zeros(0, np.int32)),
+                prompt_speech_feat=model_input.get(
+                    "prompt_speech_feat", np.zeros((0, 80), np.float32)),
+                flow_embedding=model_input["flow_embedding"],
+                stream=stream, speed=speed, rng=rng):
+            audio_dur = len(out["tts_speech"]) / self.sample_rate
+            rtf = (time.time() - start) / max(audio_dur, 1e-6)
+            logger.info("yield speech len %.2f, rtf %f", audio_dur, rtf)
+            yield out
+            start = time.time()
+
+    # ---- reference API surface (cli/cosyvoice.py:67-174) -------------
+
+    def inference_sft(self, tts_text, spk_id, stream=False, speed=1.0,
+                      text_frontend=True, rng=None):
+        for seg in self.frontend.text_normalize(tts_text) if text_frontend else [tts_text]:
+            yield from self._run(self.frontend.frontend_sft(seg, spk_id),
+                                 stream, speed, rng)
+
+    def inference_zero_shot(self, tts_text, prompt_text, prompt_speech_16k,
+                            stream=False, speed=1.0, text_frontend=True, rng=None):
+        prompt_text_n = self.frontend.text_normalize(prompt_text, split=False) \
+            if text_frontend else prompt_text
+        segs = self.frontend.text_normalize(tts_text) if text_frontend else [tts_text]
+        for seg in segs:
+            if len(seg) < 0.5 * len(prompt_text_n):
+                logger.warning("synthesis text %s too short than prompt %s",
+                               seg, prompt_text_n)
+            yield from self._run(
+                self.frontend.frontend_zero_shot(seg, prompt_text_n,
+                                                 prompt_speech_16k),
+                stream, speed, rng)
+
+    def inference_cross_lingual(self, tts_text, prompt_speech_16k, stream=False,
+                                speed=1.0, text_frontend=True, rng=None):
+        for seg in self.frontend.text_normalize(tts_text) if text_frontend else [tts_text]:
+            yield from self._run(
+                self.frontend.frontend_cross_lingual(seg, prompt_speech_16k),
+                stream, speed, rng)
+
+    def inference_instruct2(self, tts_text, instruct_text, prompt_speech_16k,
+                            stream=False, speed=1.0, text_frontend=True, rng=None):
+        for seg in self.frontend.text_normalize(tts_text) if text_frontend else [tts_text]:
+            yield from self._run(
+                self.frontend.frontend_instruct2(seg, instruct_text,
+                                                 prompt_speech_16k),
+                stream, speed, rng)
+
+    def inference_vc(self, source_speech_16k, prompt_speech_16k, stream=False,
+                     speed=1.0, rng=None):
+        mi = self.frontend.frontend_vc(source_speech_16k, prompt_speech_16k)
+        session: dict = {"hift": None}
+        tokens = mi["source_speech_token"]
+        if not stream:
+            wav = self.model.token2wav(tokens, mi["flow_prompt_speech_token"],
+                                       mi["prompt_speech_feat"],
+                                       mi["flow_embedding"], 0, session,
+                                       finalize=True, speed=speed)
+            yield {"tts_speech": wav}
+            return
+        hop, la = self.model.token_hop_len, self.model.pre_lookahead_len
+        off = 0
+        while len(tokens) - off >= hop + la:
+            yield {"tts_speech": self.model.token2wav(
+                tokens[: off + hop + la], mi["flow_prompt_speech_token"],
+                mi["prompt_speech_feat"], mi["flow_embedding"], off, session,
+                finalize=False)}
+            off += hop
+        yield {"tts_speech": self.model.token2wav(
+            tokens, mi["flow_prompt_speech_token"], mi["prompt_speech_feat"],
+            mi["flow_embedding"], off, session, finalize=True)}
+
+
+def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
+                    max_decode_tokens: int = 800) -> CosyVoice2:
+    """Assemble CosyVoice2 from a reference checkpoint directory
+    (llm.pt / flow.pt / hift.pt + Qwen tokenizer assets)."""
+    import os
+
+    import torch
+
+    from cosyvoice_tpu.models.flow import (CausalMaskedDiffWithXvec, FlowConfig,
+                                           import_flow_torch)
+    from cosyvoice_tpu.models.hift import (HiFTConfig, HiFTGenerator,
+                                           import_hift_torch)
+    from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, import_qwen2lm_torch
+    from cosyvoice_tpu.tokenizer.text import QwenTokenizer
+
+    def load(name):
+        return torch.load(os.path.join(model_dir, name), map_location="cpu",
+                          weights_only=True)
+
+    lm_cfg, flow_cfg, hift_cfg = LMConfig(), FlowConfig(), HiFTConfig()
+    llm = Qwen2LM(lm_cfg)
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    hift = HiFTGenerator(hift_cfg)
+    hift_sd = {k.removeprefix("generator."): v for k, v in load("hift.pt").items()}
+    model = CosyVoice2Model(
+        llm=llm, flow=flow, hift=hift,
+        llm_params=import_qwen2lm_torch(load("llm.pt"), lm_cfg),
+        flow_params=import_flow_torch(load("flow.pt"), flow_cfg),
+        hift_params=import_hift_torch(hift_sd, hift_cfg),
+        max_decode_tokens=max_decode_tokens)
+    tok = QwenTokenizer(tokenizer_path or os.path.join(model_dir, "CosyVoice-BlankEN"))
+    frontend = CosyVoiceFrontEnd(tokenizer=tok)
+    return CosyVoice2(frontend=frontend, model=model)

@@ -1,0 +1,235 @@
+"""Streaming inference engine: LLM -> flow -> vocoder chunk pipeline.
+
+Behavioral spec: reference `cosyvoice/cli/model.py:295-424` (CosyVoice2Model):
+  * token_hop_len = 2 * input_frame_rate (50 tokens ~ 2 s); first synthesis
+    waits for token_hop + pre_lookahead (3) tokens
+  * token2wav (:334-366): flow.inference on prompt ++ all-tokens-so-far with
+    chunk-masked attention, mel sliced at token_offset * ratio; mel cache 8
+    frames prepended; HiFT cache_source spliced; emitted speech cross-faded
+    with the cached tail over a 2*3840-sample Hamming window; the last
+    source_cache_len samples are held back until the next chunk
+  * non-stream path: one token2wav over all tokens, finalize=True
+
+TPU-first replacements for the reference's thread+poll machinery
+(cli/model.py:177-238): JAX dispatch is already asynchronous, so the host
+drives jitted chunk programs — llm decode chunks, flow chunks, vocoder
+chunks — that queue back-to-back on the device stream with no Python thread
+pair and no 0.1 s polling.  All chunk programs run at BUCKETED static shapes
+(token length rounded up to token_hop) so each bucket compiles once.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.models.flow import CausalMaskedDiffWithXvec
+from cosyvoice_tpu.models.hift import HiFTGenerator
+from cosyvoice_tpu.models.llm import Qwen2LM, lm_generate
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass
+class CosyVoice2Model:
+    """Host-side orchestrator over jitted stage programs."""
+
+    llm: Qwen2LM
+    flow: CausalMaskedDiffWithXvec
+    hift: HiFTGenerator
+    llm_params: dict
+    flow_params: dict
+    hift_params: dict
+    sample_rate: int = 24000
+    max_decode_tokens: int = 800  # static cap on generated speech tokens
+
+    def __post_init__(self):
+        fr = self.flow.cfg.input_frame_rate          # 25
+        self.token_hop_len = 2 * fr                  # 50
+        self.pre_lookahead_len = self.flow.cfg.pre_lookahead_len  # 3
+        self.ratio = self.flow.cfg.token_mel_ratio   # 2
+        self.mel_cache_len = 8
+        self.hop_samples = self.hift.cfg.upsample_scale  # 480 @ 24 kHz v2
+        self.source_cache_len = self.mel_cache_len * self.hop_samples
+        self.speech_window = np.hamming(2 * self.source_cache_len)
+        flow_model, hift_model = self.flow, self.hift
+
+        @partial(jax.jit, static_argnames=("streaming",))
+        def _flow_infer(params, token, token_len, prompt_feat, embedding,
+                        streaming=False):
+            return flow_model.apply(params, token, token_len, prompt_feat,
+                                    embedding, streaming=streaming,
+                                    method=CausalMaskedDiffWithXvec.inference)
+
+        @jax.jit
+        def _hift_infer(params, mel, cache_source, rng):
+            return hift_model.apply(params, mel, cache_source,
+                                    rngs={"noise": rng},
+                                    method=HiFTGenerator.inference)
+
+        @jax.jit
+        def _hift_infer_nocache(params, mel, rng):
+            return hift_model.apply(params, mel,
+                                    rngs={"noise": rng},
+                                    method=HiFTGenerator.inference)
+
+        self._flow_infer = _flow_infer
+        self._hift_infer = _hift_infer
+        self._hift_infer_nocache = _hift_infer_nocache
+        self._noise_rng = jax.random.PRNGKey(0)
+        self._noise_ctr = 0
+
+    # ------------------------------------------------------------------
+    # stages
+    # ------------------------------------------------------------------
+
+    def llm_generate(self, text_tokens: np.ndarray, prompt_text_len: int,
+                     prompt_speech_tokens: np.ndarray, rng) -> np.ndarray:
+        """Run the full AR decode (one jit); returns emitted token ids."""
+        text = jnp.asarray(text_tokens)[None]
+        tlen = jnp.asarray([text.shape[1]])
+        psp = jnp.asarray(prompt_speech_tokens)[None].astype(jnp.int32)
+        plen = jnp.asarray([psp.shape[1]])
+        new_text = text.shape[1] - prompt_text_len
+        min_len = jnp.asarray([int(new_text * self.llm.cfg.min_token_text_ratio)])
+        max_len = jnp.asarray([int(new_text * self.llm.cfg.max_token_text_ratio)])
+        cap = self.max_decode_tokens
+        cache_len = round_up(2 + text.shape[1] + psp.shape[1] + cap, 128)
+        out, count = lm_generate(self.llm, self.llm_params, text, tlen, psp, plen,
+                                 min_len, max_len, rng, max_steps=cap,
+                                 cache_len=cache_len)
+        return np.asarray(out[0][: int(count[0])])
+
+    def _flow_chunk(self, all_tokens: np.ndarray, prompt_tokens: np.ndarray,
+                    prompt_feat: np.ndarray, embedding: np.ndarray,
+                    token_offset: int, streaming: bool) -> np.ndarray:
+        """flow over prompt ++ tokens (bucketed pad), mel sliced at offset."""
+        tok = np.concatenate([prompt_tokens, all_tokens]).astype(np.int32)
+        n = len(tok)
+        bucket = max(round_up(n, self.token_hop_len), self.token_hop_len)
+        tok_pad = np.zeros(bucket, np.int32)
+        tok_pad[:n] = tok
+        mel = self._flow_infer(self.flow_params, jnp.asarray(tok_pad)[None],
+                               jnp.asarray([n]), jnp.asarray(prompt_feat)[None],
+                               jnp.asarray(embedding)[None], streaming=streaming)
+        # valid generated mel: ratio * (n - len(prompt_tokens)); drop pad tail
+        valid = self.ratio * (n - len(prompt_tokens))
+        mel = np.asarray(mel)[0, :valid]
+        return mel[token_offset * self.ratio:]  # [frames, 80]
+
+    def _vocode(self, mel: np.ndarray, cache_source: Optional[np.ndarray],
+                pad_to: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
+        """HiFT over [frames, 80] mel (+ source splice); bucketed pad + slice."""
+        n = mel.shape[0]
+        bucket = pad_to or n
+        mel_pad = np.zeros((bucket, self.flow.cfg.output_size), np.float32)
+        mel_pad[:n] = mel
+        self._noise_ctr += 1
+        rng = jax.random.fold_in(self._noise_rng, self._noise_ctr)
+        if cache_source is not None and cache_source.shape[0] > 0:
+            wav, source = self._hift_infer(self.hift_params,
+                                           jnp.asarray(mel_pad)[None],
+                                           jnp.asarray(cache_source)[None, :, None],
+                                           rng)
+        else:
+            wav, source = self._hift_infer_nocache(self.hift_params,
+                                                   jnp.asarray(mel_pad)[None], rng)
+        wav = np.asarray(wav)[0, : n * self.hop_samples]
+        source = np.asarray(source)[0, : n * self.hop_samples, 0]
+        return wav, source
+
+    # ------------------------------------------------------------------
+    # sessions
+    # ------------------------------------------------------------------
+
+    def token2wav(self, tokens: np.ndarray, prompt_tokens: np.ndarray,
+                  prompt_feat: np.ndarray, embedding: np.ndarray,
+                  token_offset: int, session: dict, finalize: bool,
+                  speed: float = 1.0) -> np.ndarray:
+        mel = self._flow_chunk(tokens, prompt_tokens, prompt_feat, embedding,
+                               token_offset, streaming=not finalize)
+        cache = session.get("hift")
+        if cache is not None:
+            mel = np.concatenate([cache["mel"], mel], axis=0)
+            cache_source = cache["source"]
+        else:
+            cache_source = None
+        if not finalize:
+            pad_to = self.mel_cache_len + (self.token_hop_len + self.pre_lookahead_len) * self.ratio
+            wav, source = self._vocode(mel, cache_source, pad_to=pad_to)
+            if cache is not None:
+                wav = self._fade(wav, cache["speech"])
+            session["hift"] = {"mel": mel[-self.mel_cache_len:],
+                               "source": source[-self.source_cache_len:],
+                               "speech": wav[-self.source_cache_len:]}
+            return wav[: -self.source_cache_len]
+        if speed != 1.0:
+            assert cache is None, "speed change only supports non-stream mode"
+            mel = _interp_linear(mel, int(mel.shape[0] / speed))
+        wav, _ = self._vocode(mel, cache_source, pad_to=round_up(mel.shape[0], 32))
+        if cache is not None:
+            wav = self._fade(wav, cache["speech"])
+        return wav
+
+    def _fade(self, wav: np.ndarray, prev_tail: np.ndarray) -> np.ndarray:
+        """Hamming cross-fade over the held-back region (utils/common.py:150-158)."""
+        n = self.source_cache_len
+        w = self.speech_window
+        wav = wav.copy()
+        wav[:n] = wav[:n] * w[:n] + prev_tail[-n:] * w[n:]
+        return wav
+
+    def tts(self, text_tokens: np.ndarray, prompt_text_len: int,
+            llm_prompt_speech_token: np.ndarray,
+            flow_prompt_speech_token: np.ndarray,
+            prompt_speech_feat: np.ndarray, flow_embedding: np.ndarray,
+            stream: bool = False, speed: float = 1.0,
+            rng: Optional[jax.Array] = None) -> Iterator[dict]:
+        """Yield {'tts_speech': np.ndarray [S]} chunks (reference tts:368-424).
+
+        Non-stream: one shot.  Stream: chunked with the reference's hop /
+        lookahead / fade constants.  The LLM currently runs ahead of the flow
+        chunks (single jit); chunk-interleaved decode lands with the
+        incremental GenState API.
+        """
+        rng = rng if rng is not None else jax.random.PRNGKey(int(time.time_ns() % (1 << 31)))
+        session: dict = {"hift": None}
+        tokens = self.llm_generate(text_tokens, prompt_text_len,
+                                   llm_prompt_speech_token, rng)
+        prompt_feat = np.asarray(prompt_speech_feat, np.float32)
+        emb = np.asarray(flow_embedding, np.float32)
+        fpt = np.asarray(flow_prompt_speech_token, np.int32)
+        if not stream:
+            wav = self.token2wav(tokens, fpt, prompt_feat, emb, 0, session,
+                                 finalize=True, speed=speed)
+            yield {"tts_speech": wav}
+            return
+        token_offset = 0
+        hop, la = self.token_hop_len, self.pre_lookahead_len
+        while len(tokens) - token_offset >= hop + la:
+            wav = self.token2wav(tokens[: token_offset + hop + la], fpt,
+                                 prompt_feat, emb, token_offset, session,
+                                 finalize=False)
+            token_offset += hop
+            yield {"tts_speech": wav}
+        wav = self.token2wav(tokens, fpt, prompt_feat, emb, token_offset,
+                             session, finalize=True)
+        yield {"tts_speech": wav}
+
+
+def _interp_linear(mel: np.ndarray, new_len: int) -> np.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) on [T, C]."""
+    T = mel.shape[0]
+    pos = (np.arange(new_len) + 0.5) * T / new_len - 0.5
+    lo = np.clip(np.floor(pos).astype(int), 0, T - 1)
+    hi = np.clip(lo + 1, 0, T - 1)
+    w = np.clip(pos - lo, 0.0, 1.0)[:, None]
+    return mel[lo] * (1 - w) + mel[hi] * w

@@ -46,6 +46,8 @@ def _permissive(name):
 _stub("torchmetrics")
 _stub("torchmetrics.classification", MulticlassAccuracy=_Any)
 _permissive("torchaudio")
+_permissive("torchaudio.transforms")
+_permissive("torchaudio.functional")
 _permissive("torchaudio.compliance")
 _permissive("torchaudio.compliance.kaldi")
 
@@ -92,6 +94,11 @@ def _install_diffusers_stub():
 
 
 _install_diffusers_stub()
+
+# the reference JIT-compiles its CUDA extension at import time (load.py:48-121)
+# — short-circuit that module; tests only exercise the torch path.
+_stub("cosyvoice.BigVGAN.alias_free_activation.cuda.activation1d",
+      Activation1d=_Any)
 
 
 def ref_state_dict(mod):

@@ -1,0 +1,126 @@
+"""GAN stack: discriminator parity vs torch + end-to-end GAN steps."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.reference_util import ref_state_dict
+from cosyvoice_tpu.models.discriminator import (DiscriminatorP, DiscriminatorR,
+                                                MultiPeriodDiscriminator,
+                                                discriminator_loss,
+                                                feature_loss, generator_loss,
+                                                tpr_loss)
+from cosyvoice_tpu.nn.conv import torch_conv2d_weight
+
+
+def _import_discP(sd, prefix=""):
+    import jax.numpy as jnp
+
+    p = {}
+    for i in range(5):
+        p[f"convs_{i}"] = {
+            "g": jnp.asarray(np.asarray(sd[f"{prefix}convs.{i}.weight_g"])).reshape(1, 1, 1, -1),
+            "v": torch_conv2d_weight(sd[f"{prefix}convs.{i}.weight_v"]),
+            "bias": jnp.asarray(np.asarray(sd[f"{prefix}convs.{i}.bias"]))}
+    p["conv_post"] = {
+        "g": jnp.asarray(np.asarray(sd[f"{prefix}conv_post.weight_g"])).reshape(1, 1, 1, -1),
+        "v": torch_conv2d_weight(sd[f"{prefix}conv_post.weight_v"]),
+        "bias": jnp.asarray(np.asarray(sd[f"{prefix}conv_post.bias"]))}
+    return p
+
+
+def test_discriminator_p_parity(rng):
+    from cosyvoice.hifigan.discriminator import DiscriminatorP as Ref
+
+    torch.manual_seed(0)
+    ref = Ref(period=3).eval()
+    x = rng.standard_normal((2, 1, 301)).astype(np.float32)
+    with torch.no_grad():
+        score_t, fmap_t = ref(torch.from_numpy(x))
+    model = DiscriminatorP(period=3)
+    params = {"params": _import_discP(ref_state_dict(ref))}
+    score_j, fmap_j = model.apply(params, jnp.asarray(x[:, 0, :]))
+    np.testing.assert_allclose(np.asarray(score_j), score_t.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    assert len(fmap_j) == len(fmap_t)
+    # fmaps: ours NHWC vs torch NCHW
+    np.testing.assert_allclose(np.asarray(fmap_j[0]).transpose(0, 3, 1, 2),
+                               fmap_t[0].numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_discriminator_r_runs(rng):
+    model = DiscriminatorR(window_length=128)
+    x = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    score, fmap = model.apply(params, x)
+    assert np.isfinite(np.asarray(score)).all()
+    assert len(fmap) == 5 * 4 + 1
+
+
+def test_gan_losses_match_torch(rng):
+    from cosyvoice.hifigan.discriminator import (discriminator_loss as d_ref,
+                                                 feature_loss as f_ref,
+                                                 generator_loss as g_ref)
+    from cosyvoice.utils.losses import tpr_loss as tpr_ref
+
+    reals = [rng.standard_normal((2, 7)).astype(np.float32) for _ in range(3)]
+    gens = [rng.standard_normal((2, 7)).astype(np.float32) for _ in range(3)]
+    fr = [[rng.standard_normal((2, 3, 4)).astype(np.float32)] for _ in range(3)]
+    fg = [[rng.standard_normal((2, 3, 4)).astype(np.float32)] for _ in range(3)]
+    t = lambda xs: [torch.from_numpy(x) for x in xs]
+    np.testing.assert_allclose(float(discriminator_loss(reals, gens)),
+                               float(d_ref(t(reals), t(gens))[0]), rtol=1e-5)
+    np.testing.assert_allclose(float(generator_loss(gens)),
+                               float(g_ref(t(gens))[0]), rtol=1e-5)
+    np.testing.assert_allclose(float(feature_loss(fr, fg)),
+                               float(f_ref([t(x) for x in fr], [t(x) for x in fg])),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(tpr_loss(reals, gens, 0.04)),
+                               float(tpr_ref(t(reals), t(gens), 0.04)), rtol=1e-4)
+
+
+def test_gan_training_steps(rng):
+    """HiFT generator + MPD through one full G/D alternation."""
+    from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+    from cosyvoice_tpu.ops.mel import log_mel_spectrogram
+    from cosyvoice_tpu.train.gan import (GanLossWeights, make_gan_loss_fns,
+                                         make_gan_steps)
+    from cosyvoice_tpu.train.optim import make_optimizer
+    from cosyvoice_tpu.train.step import make_train_state
+
+    cfg = HiFTConfig(in_channels=8, base_channels=16, nb_harmonics=1,
+                     upsample_rates=(4, 3), upsample_kernel_sizes=(8, 7),
+                     resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1,),),
+                     source_resblock_kernel_sizes=(3, 3),
+                     source_resblock_dilation_sizes=((1,), (1,)),
+                     f0_cond_channels=8, sampling_rate=2400)
+    gen = HiFTGenerator(cfg)
+    disc = MultiPeriodDiscriminator(periods=(2, 3))
+    T = 10
+    mel = jnp.asarray(rng.standard_normal((2, T, 8)).astype(np.float32))
+    speech = jnp.asarray(rng.standard_normal((2, T * 48)).astype(np.float32) * 0.1)
+    g_params = gen.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, mel)
+    d_params = disc.init(jax.random.PRNGKey(2), speech, speech)
+
+    def generator_apply(p, batch, rng):
+        return gen.apply(p, batch["speech_feat"], rngs={"noise": rng})
+
+    def discriminator_apply(p, real, fake):
+        return disc.apply(p, real, fake)
+
+    mel_tf = lambda w: log_mel_spectrogram(w, n_fft=48, n_mels=8, sr=2400,
+                                           hop=12, win=48, fmax=1200.0)
+    g_lf, d_lf = make_gan_loss_fns(generator_apply, discriminator_apply, [mel_tf])
+    tx_g, _ = make_optimizer("adam", 1e-4, "constantlr")
+    tx_d, _ = make_optimizer("adam", 1e-4, "constantlr")
+    g_step, d_step = make_gan_steps(g_lf, d_lf, tx_g, tx_d)
+    g_state = make_train_state(g_params, tx_g)
+    d_state = make_train_state(d_params, tx_d)
+    batch = {"speech": speech, "speech_feat": mel}
+    d_state, dm = d_step(d_state, g_state.params, batch, jax.random.PRNGKey(3))
+    g_state, gm = g_step(g_state, (d_state.params, batch), jax.random.PRNGKey(4))
+    for v in list(dm.values()) + list(gm.values()):
+        assert np.isfinite(float(v))
+    assert float(gm["grad_norm"]) > 0

@@ -1,0 +1,135 @@
+"""E2E runtime test: tiny models through the streaming orchestrator (CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cosyvoice_tpu.models.conformer import ConformerConfig
+from cosyvoice_tpu.models.flow import (CFMConfig, CausalMaskedDiffWithXvec,
+                                       EstimatorConfig, FlowConfig)
+from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, SamplingConfig
+from cosyvoice_tpu.models.qwen2 import Qwen2Config
+from cosyvoice_tpu.runtime.model import CosyVoice2Model
+from cosyvoice_tpu.runtime.frontend import CosyVoiceFrontEnd
+from cosyvoice_tpu.runtime.api import CosyVoice2
+from cosyvoice_tpu.tokenizer.text import ByteTokenizer
+
+SPEECH_VOCAB = 24
+N_MEL = 16
+
+
+@pytest.fixture(scope="module")
+def tiny_stack():
+    qwen = Qwen2Config(vocab_size=300, hidden_size=32, num_layers=2, num_heads=4,
+                       num_kv_heads=2, head_dim=8, intermediate_size=64,
+                       rope_theta=10000.0)
+    lm_cfg = LMConfig(llm_input_size=32, llm_output_size=32,
+                      speech_token_size=SPEECH_VOCAB, qwen=qwen,
+                      sampling=SamplingConfig(method="ras", top_k=5))
+    enc = ConformerConfig(dim=64, heads=4, linear_units=64, num_blocks=1,
+                          dropout_rate=0.0, attention_dropout_rate=0.0,
+                          input_size=64, static_chunk_size=50)
+    est = EstimatorConfig(in_channels=4 * N_MEL, out_channels=N_MEL, causal=True,
+                          channels=(32,), n_blocks=1, num_mid_blocks=1,
+                          num_heads=2, attention_head_dim=16)
+    flow_cfg = FlowConfig(input_size=64, output_size=N_MEL, spk_embed_dim=24,
+                          vocab_size=SPEECH_VOCAB + 3, encoder=enc,
+                          estimator=est, cfm=CFMConfig(noise_frames=4000))
+    hift_cfg = HiFTConfig(in_channels=N_MEL, base_channels=32, nb_harmonics=2,
+                          upsample_rates=(4, 3), upsample_kernel_sizes=(8, 7),
+                          resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+                          source_resblock_kernel_sizes=(5, 7),
+                          source_resblock_dilation_sizes=((1, 3), (1, 3)),
+                          f0_cond_channels=24, sampling_rate=2304)
+
+    llm = Qwen2LM(lm_cfg)
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    hift = HiFTGenerator(hift_cfg)
+    k = jax.random.PRNGKey(0)
+    llm_params = llm.init(k, jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
+                          jnp.zeros((1, 3), jnp.int32), jnp.asarray([3]))
+    flow_params = flow.init(k, jnp.zeros((1, 8), jnp.int32), jnp.asarray([8]),
+                            jnp.zeros((1, 4, N_MEL)), jnp.zeros((1, 24)),
+                            method=CausalMaskedDiffWithXvec.inference)
+    hift_params = hift.init({"params": k, "noise": k}, jnp.zeros((1, 10, N_MEL)))
+    return CosyVoice2Model(llm=llm, flow=flow, hift=hift, llm_params=llm_params,
+                           flow_params=flow_params, hift_params=hift_params,
+                           max_decode_tokens=96)
+
+
+def test_nonstream_tts(tiny_stack):
+    m = tiny_stack
+    text = np.arange(20, dtype=np.int32) % 250
+    outs = list(m.tts(text_tokens=text, prompt_text_len=0,
+                      llm_prompt_speech_token=np.zeros(0, np.int32),
+                      flow_prompt_speech_token=np.zeros(0, np.int32),
+                      prompt_speech_feat=np.zeros((0, N_MEL), np.float32),
+                      flow_embedding=np.ones(24, np.float32),
+                      stream=False, rng=jax.random.PRNGKey(7)))
+    assert len(outs) == 1
+    wav = outs[0]["tts_speech"]
+    # min_len = 2 * 20 = 40 emitted tokens at least; wav = 2 * N * upsample(48)
+    assert wav.shape[0] % (2 * 48) == 0
+    assert wav.shape[0] >= 40 * 2 * 48
+    assert np.isfinite(wav).all()
+
+
+def test_stream_tts_chunks_and_total(tiny_stack):
+    m = tiny_stack
+    text = np.arange(30, dtype=np.int32) % 250  # min_len 60 >= hop+la 53
+    kwargs = dict(text_tokens=text, prompt_text_len=0,
+                  llm_prompt_speech_token=np.zeros(0, np.int32),
+                  flow_prompt_speech_token=np.zeros(0, np.int32),
+                  prompt_speech_feat=np.zeros((0, N_MEL), np.float32),
+                  flow_embedding=np.ones(24, np.float32))
+    rng = jax.random.PRNGKey(3)
+    n_tok = len(m.llm_generate(text, 0, np.zeros(0, np.int32), rng))
+    outs = list(m.tts(stream=True, rng=rng, **kwargs))
+    assert len(outs) >= 2
+    lens = [o["tts_speech"].shape[0] for o in outs]
+    hop_samples = 48
+    cache = m.mel_cache_len
+    # first chunk: (2*(hop+la) - cache) frames; middle: 2*(hop+la) - cache + cache
+    expected_first = (2 * (50 + 3) - cache) * hop_samples
+    assert lens[0] == expected_first
+    k = len(outs) - 1  # non-final chunks
+    off = 50 * k
+    expected_final = (cache + 2 * (n_tok - off)) * hop_samples
+    assert lens[-1] == expected_final
+    for mid in lens[1:-1]:
+        assert mid == (2 * (50 + 3)) * hop_samples
+    for o in outs:
+        assert np.isfinite(o["tts_speech"]).all()
+
+
+def test_api_zero_shot_with_injected_frontend(tiny_stack):
+    """Full CosyVoice2 API path with injected speech-tokenizer/spk-embedder."""
+    fe = CosyVoiceFrontEnd(
+        tokenizer=ByteTokenizer(),
+        speech_tokenizer=lambda wav: np.arange(10) % SPEECH_VOCAB,
+        spk_embedder=lambda wav: np.ones(24, np.float32),
+        sample_rate=2304, n_mels=N_MEL, mel_n_fft=96, mel_hop=48)
+    cv = CosyVoice2(frontend=fe, model=tiny_stack, sample_rate=2304)
+    prompt_wav = np.sin(np.arange(16000) * 0.01).astype(np.float32)
+    outs = list(cv.inference_zero_shot("Hello there, friend.", "Hi.",
+                                       prompt_wav, stream=False,
+                                       rng=jax.random.PRNGKey(1)))
+    assert len(outs) >= 1
+    assert all(np.isfinite(o["tts_speech"]).all() for o in outs)
+    assert sum(o["tts_speech"].shape[0] for o in outs) > 0
+
+
+def test_textnorm():
+    from cosyvoice_tpu.runtime.textnorm import (basic_normalize, number_to_words,
+                                                split_paragraph)
+
+    assert number_to_words("42") == "forty-two"
+    assert number_to_words("105") == "one hundred and five"
+    assert number_to_words("3.14") == "three point one four"
+    tok = ByteTokenizer()
+    segs = basic_normalize("I have 3 cats. " * 30, tok.encode)
+    assert len(segs) > 1
+    assert all("3" not in s for s in segs)
+    assert "three" in segs[0]
