@@ -1,11 +1,13 @@
-"""End-to-end TTS benchmark: full text->wav real-time factor on one chip.
+"""End-to-end TTS benchmark: full text->wav throughput on one chip.
 
 Runs the full-size CosyVoice2 stack (Qwen2-0.5B LM -> flow -> HiFT, random
-weights — compute is weight-independent) in non-stream mode and reports
-audio-seconds generated per wall-clock second.  Baseline target (BASELINE.md):
->50x real-time per TPU v5e chip; vs_baseline = value / 50.
+weights — compute is weight-independent): a single-stream run (latency RTF)
+and a batched serving run (B utterances decoded concurrently — the per-chip
+throughput number that matters for production serving).  LM params/KV run in
+bf16 (fp32 softmax/norms); flow + vocoder in fp32.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): >50x real-time per TPU v5e chip;
+vs_baseline = value / 50.  Prints ONE JSON line.
 """
 import json
 import sys
@@ -16,77 +18,88 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+N_TOKENS = 500            # 20 s of audio per utterance at 25 Hz
+BATCH = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
 
 def main():
     from cosyvoice_tpu.models.flow import CausalMaskedDiffWithXvec, FlowConfig
     from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
     from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, lm_generate
-    from cosyvoice_tpu.runtime.model import CosyVoice2Model
+    from cosyvoice_tpu.utils.dtype import to_bf16
 
     rng = np.random.default_rng(0)
-    n_tokens = 500            # 20 s of audio at 25 Hz
-    audio_seconds = n_tokens / 25.0
-
     lm_cfg, flow_cfg, hift_cfg = LMConfig(), FlowConfig(), HiFTConfig()
     llm, flow, hift = Qwen2LM(lm_cfg), CausalMaskedDiffWithXvec(flow_cfg), HiFTGenerator(hift_cfg)
 
-    text = jnp.asarray(rng.integers(0, 1000, (1, 25)))
-    tlen = jnp.asarray([25])
-    psp = jnp.asarray(rng.integers(0, 6561, (1, 50)))
-    plen = jnp.asarray([50])
-    k = jax.random.PRNGKey(0)
-    print("initializing params (structure-only zeros)...", file=sys.stderr)
-
-    def zeros_of(init_fn):
+    def zeros_of(init_fn, fill=0.0):
         shapes = jax.eval_shape(init_fn)
-        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return jax.tree.map(lambda s: jnp.full(s.shape, fill, s.dtype), shapes)
 
-    llm_params = zeros_of(lambda: llm.init(k, text, tlen, psp, plen))
+    k = jax.random.PRNGKey(0)
+    text1 = jnp.asarray(rng.integers(0, 1000, (1, 25)))
+    psp1 = jnp.asarray(rng.integers(0, 6561, (1, 50)))
+    log("initializing params (structure-only)...")
+    llm_params = to_bf16(zeros_of(lambda: llm.init(
+        k, text1, jnp.asarray([25]), psp1, jnp.asarray([50]))))
     flow_params = zeros_of(lambda: flow.init(
-        k, psp, plen, jnp.zeros((1, 20, 80)), jnp.zeros((1, 192)),
+        k, psp1, jnp.asarray([50]), jnp.zeros((1, 20, 80)), jnp.zeros((1, 192)),
         method=CausalMaskedDiffWithXvec.inference))
-    # hift params must not be all-zero (weight-norm divides by ||v||)
-    hift_params = jax.tree.map(
-        lambda s: jnp.full(s.shape, 0.01, s.dtype),
-        jax.eval_shape(lambda: hift.init({"params": k, "noise": k},
-                                         jnp.zeros((1, 20, 80)))))
-    model = CosyVoice2Model(llm=llm, flow=flow, hift=hift, llm_params=llm_params,
-                            flow_params=flow_params, hift_params=hift_params,
-                            max_decode_tokens=n_tokens)
+    hift_params = zeros_of(lambda: hift.init(
+        {"params": k, "noise": k}, jnp.zeros((1, 20, 80))), fill=0.01)
 
-    prompt_feat = (rng.standard_normal((100, 80)) * 0.3).astype(np.float32)
-    prompt_tok = np.asarray(psp[0])
-    emb = rng.standard_normal(192).astype(np.float32)
+    @jax.jit
+    def flow_infer(params, token, token_len, prompt_feat, emb):
+        return flow.apply(params, token, token_len, prompt_feat, emb,
+                          method=CausalMaskedDiffWithXvec.inference)
 
-    def run(seed):
-        # force exactly n_tokens: min_len == max_len == n_tokens
-        cache_len = ((2 + 25 + 50 + n_tokens + 127) // 128) * 128
-        out, count = lm_generate(llm, llm_params, text, tlen, psp, plen,
-                                 jnp.asarray([n_tokens]), jnp.asarray([n_tokens]),
-                                 jax.random.PRNGKey(seed), max_steps=n_tokens,
+    @jax.jit
+    def hift_infer(params, mel, rng):
+        return hift.apply(params, mel, rngs={"noise": rng},
+                          method=HiFTGenerator.inference)
+
+    prompt_feat1 = jnp.asarray((rng.standard_normal((1, 100, 80)) * 0.3).astype(np.float32))
+    emb1 = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
+
+    def run(B, seed):
+        text = jnp.tile(text1, (B, 1))
+        psp = jnp.tile(psp1, (B, 1))
+        n = jnp.full((B,), N_TOKENS)
+        cache_len = ((2 + 25 + 50 + N_TOKENS + 127) // 128) * 128
+        out, count = lm_generate(llm, llm_params, text, jnp.full((B,), 25),
+                                 psp, jnp.full((B,), 50), n, n,
+                                 jax.random.PRNGKey(seed), max_steps=N_TOKENS,
                                  cache_len=cache_len)
-        tokens = np.asarray(out[0][: int(count[0])])
-        session = {"hift": None}
-        wav = model.token2wav(tokens, prompt_tok, prompt_feat, emb, 0, session,
-                              finalize=True)
-        return wav
+        tok = jnp.concatenate([psp, out], axis=1)
+        mel = flow_infer(flow_params, tok, jnp.full((B,), 50 + N_TOKENS),
+                         jnp.tile(prompt_feat1, (B, 1, 1)), jnp.tile(emb1, (B, 1)))
+        wav, _ = hift_infer(hift_params, mel, jax.random.PRNGKey(seed))
+        return wav.block_until_ready()
 
-    print("warmup/compile...", file=sys.stderr)
-    wav = run(0)
-    assert np.isfinite(wav).all()
+    results = {}
+    for B in (1, BATCH):
+        log(f"B={B}: warmup/compile...")
+        wav = run(B, 0)
+        assert np.isfinite(np.asarray(wav)).all(), "non-finite waveform"
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            wav = run(B, i + 1)
+            times.append(time.time() - t0)
+        dt = min(times)
+        audio_s = wav.shape[0] * wav.shape[1] / 24000.0
+        results[B] = audio_s / dt
+        log(f"B={B}: {dt:.2f}s for {audio_s:.0f}s audio -> {results[B]:.1f}x realtime")
 
-    times = []
-    for i in range(3):
-        t0 = time.time()
-        wav = run(i + 1)
-        times.append(time.time() - t0)
-        print(f"run {i}: {times[-1]:.2f}s for {len(wav)/24000:.1f}s audio",
-              file=sys.stderr)
-    dt = min(times)
-    value = (len(wav) / 24000.0) / dt
-    print(json.dumps({"metric": "full text->wav audio-seconds per second, 1 chip",
-                      "value": round(value, 2), "unit": "audio_s/s",
-                      "vs_baseline": round(value / 50.0, 3)}))
+    value = max(results.values())
+    print(json.dumps({
+        "metric": f"full text->wav audio-seconds/s per chip (bf16 LM, B={BATCH} serving; 1-stream {results[1]:.1f}x)",
+        "value": round(value, 2), "unit": "audio_s/s",
+        "vs_baseline": round(value / 50.0, 3)}))
 
 
 if __name__ == "__main__":

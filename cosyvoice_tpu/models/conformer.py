@@ -60,7 +60,11 @@ def rel_shift(x: jax.Array) -> jax.Array:
 class RelPositionAttention(nn.Module):
     """Multi-head attention with espnet relative position bias.
 
-    mask: bool [B, 1|Tq, Tk] (True == attend) or None for full attention.
+    Two entry points sharing one parameter set:
+      * __call__: full/chunk-masked attention (training, encoders)
+      * decode:   one query token against a static KV cache buffer — the
+        Tq=1 degenerate of rel_shift is direct indexing by key distance, so
+        bd comes from a reversed rel-pos table + dynamic slice.
     """
 
     heads: int
@@ -68,26 +72,33 @@ class RelPositionAttention(nn.Module):
     key_bias: bool = True
     dropout_rate: float = 0.0
 
-    @nn.compact
+    def setup(self):
+        H, D = self.heads, self.dim // self.heads
+        self.linear_q = nn.Dense(self.dim)
+        self.linear_k = nn.Dense(self.dim, use_bias=self.key_bias)
+        self.linear_v = nn.Dense(self.dim)
+        self.linear_out = nn.Dense(self.dim)
+        self.linear_pos = nn.Dense(self.dim, use_bias=False)
+        self.pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, D))
+        self.pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, D))
+
     def __call__(self, q_in: jax.Array, kv_in: jax.Array, pos_emb: jax.Array,
                  mask: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
         H, D = self.heads, self.dim // self.heads
-        q = nn.Dense(self.dim, name="linear_q")(q_in)
-        k = nn.Dense(self.dim, use_bias=self.key_bias, name="linear_k")(kv_in)
-        v = nn.Dense(self.dim, name="linear_v")(kv_in)
+        q = self.linear_q(q_in)
+        k = self.linear_k(kv_in)
+        v = self.linear_v(kv_in)
         B, Tq = q.shape[:2]
         Tk = k.shape[1]
         q = q.reshape(B, Tq, H, D)
         k = k.reshape(B, Tk, H, D)
         v = v.reshape(B, Tk, H, D)
-        p = nn.Dense(self.dim, use_bias=False, name="linear_pos")(pos_emb)
+        p = self.linear_pos(pos_emb)
         p = p.reshape(pos_emb.shape[0], -1, H, D)
-        ub = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, D))
-        vb = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, D))
 
-        ac = jnp.einsum("bihd,bjhd->bhij", q + ub, k)
-        bd = jnp.einsum("bihd,bjhd->bhij", q + vb, p)
+        ac = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_u, k)
+        bd = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_v, p)
         if bd.shape != ac.shape:
             bd = rel_shift(bd)[..., :Tk]
         scores = (ac + bd) / np.sqrt(D)
@@ -101,7 +112,33 @@ class RelPositionAttention(nn.Module):
         if self.dropout_rate > 0.0 and not deterministic:
             attn = nn.Dropout(self.dropout_rate, deterministic=False)(attn)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, Tq, self.dim)
-        return nn.Dense(self.dim, name="linear_out")(out)
+        return self.linear_out(out)
+
+    def decode(self, q_in: jax.Array, layer_k: jax.Array, layer_v: jax.Array,
+               pos: jax.Array, valid: jax.Array):
+        """q_in [B, 1, dim]; layer_k/v [B, Tmax, H, D] cache buffers; pos:
+        scalar write slot; valid [B, Tmax] key mask.
+        Returns (out [B, 1, dim], new_k, new_v)."""
+        H, D = self.heads, self.dim // self.heads
+        B = q_in.shape[0]
+        Tmax = layer_k.shape[1]
+        q = self.linear_q(q_in).reshape(B, 1, H, D)
+        k = self.linear_k(q_in).reshape(B, 1, H, D)
+        v = self.linear_v(q_in).reshape(B, 1, H, D)
+        layer_k = jax.lax.dynamic_update_slice(layer_k, k, (0, pos, 0, 0))
+        layer_v = jax.lax.dynamic_update_slice(layer_v, v, (0, pos, 0, 0))
+
+        table = espnet_rel_pos_emb(Tmax, self.dim, q_in.dtype)  # [1, 2Tmax-1, dim]
+        p = self.linear_pos(table).reshape(1, -1, H, D)
+        ac = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_u, layer_k)
+        bd_full = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_v, p)
+        # slot j <-> table index (Tmax-1) - pos + j
+        bd = jax.lax.dynamic_slice_in_dim(bd_full, Tmax - 1 - pos, Tmax, axis=3)
+        scores = (ac + bd) / np.sqrt(D)
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, layer_v).reshape(B, 1, self.dim)
+        return self.linear_out(out), layer_k, layer_v
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -171,12 +208,31 @@ class ConformerConfig:
     key_bias: bool = True
     activation: str = "swish"
     static_chunk_size: int = 0
+    input_layer: str = "linear"  # linear | linear_legacy
 
 
 class ConformerEncoderLayer(nn.Module):
     cfg: ConformerConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.norm_mha = nn.LayerNorm(epsilon=1e-12)
+        self.norm_ff = nn.LayerNorm(epsilon=1e-12)
+        self.self_attn = RelPositionAttention(cfg.heads, cfg.dim, cfg.key_bias,
+                                              cfg.attention_dropout_rate)
+        self.ff = PositionwiseFeedForward(cfg.linear_units, cfg.dim,
+                                          cfg.dropout_rate, cfg.activation)
+        if cfg.macaron_style:
+            self.norm_ff_macaron = nn.LayerNorm(epsilon=1e-12)
+            self.ff_macaron = PositionwiseFeedForward(
+                cfg.linear_units, cfg.dim, cfg.dropout_rate, cfg.activation)
+        if cfg.use_cnn_module:
+            self.norm_conv = nn.LayerNorm(epsilon=1e-12)
+            self.norm_final = nn.LayerNorm(epsilon=1e-12)
+            self.conv_module = ConvolutionModule(cfg.dim, cfg.cnn_module_kernel,
+                                                 cfg.cnn_causal, cfg.cnn_norm,
+                                                 cfg.activation)
+
     def __call__(self, x: jax.Array, pos_emb: jax.Array,
                  attn_mask: Optional[jax.Array], pad_mask: Optional[jax.Array],
                  deterministic: bool = True) -> jax.Array:
@@ -185,35 +241,44 @@ class ConformerEncoderLayer(nn.Module):
                           if cfg.dropout_rate > 0.0 and not deterministic else y)
         ff_scale = 0.5 if cfg.macaron_style else 1.0
         if cfg.macaron_style:
-            h = nn.LayerNorm(epsilon=1e-12, name="norm_ff_macaron")(x)
-            h = PositionwiseFeedForward(cfg.linear_units, cfg.dim, cfg.dropout_rate,
-                                        cfg.activation, name="ff_macaron")(h, deterministic)
+            h = self.norm_ff_macaron(x)
+            h = self.ff_macaron(h, deterministic)
             x = x + ff_scale * drop(h)
-        h = nn.LayerNorm(epsilon=1e-12, name="norm_mha")(x)
-        h = RelPositionAttention(cfg.heads, cfg.dim, cfg.key_bias,
-                                 cfg.attention_dropout_rate, name="self_attn")(
-            h, h, pos_emb, attn_mask, deterministic)
+        h = self.norm_mha(x)
+        h = self.self_attn(h, h, pos_emb, attn_mask, deterministic)
         x = x + drop(h)
         if cfg.use_cnn_module:
-            h = nn.LayerNorm(epsilon=1e-12, name="norm_conv")(x)
-            h = ConvolutionModule(cfg.dim, cfg.cnn_module_kernel, cfg.cnn_causal,
-                                  cfg.cnn_norm, cfg.activation, name="conv_module")(
-                h, pad_mask, train=not deterministic)
+            h = self.norm_conv(x)
+            h = self.conv_module(h, pad_mask, train=not deterministic)
             x = x + drop(h)
-        h = nn.LayerNorm(epsilon=1e-12, name="norm_ff")(x)
-        h = PositionwiseFeedForward(cfg.linear_units, cfg.dim, cfg.dropout_rate,
-                                    cfg.activation, name="ff")(h, deterministic)
+        h = self.norm_ff(x)
+        h = self.ff(h, deterministic)
         x = x + ff_scale * drop(h)
         if cfg.use_cnn_module:
-            x = nn.LayerNorm(epsilon=1e-12, name="norm_final")(x)
+            x = self.norm_final(x)
         return x
+
+    def decode(self, x, layer_k, layer_v, pos, valid):
+        """One-token streaming step (no conv module support)."""
+        cfg = self.cfg
+        ff_scale = 0.5 if cfg.macaron_style else 1.0
+        if cfg.macaron_style:
+            x = x + ff_scale * self.ff_macaron(self.norm_ff_macaron(x))
+        h, layer_k, layer_v = self.self_attn.decode(
+            self.norm_mha(x), layer_k, layer_v, pos, valid)
+        x = x + h
+        x = x + ff_scale * self.ff(self.norm_ff(x))
+        return x, layer_k, layer_v
 
 
 class LinearEmbed(nn.Module):
-    """LinearNoSubsampling: Dense -> LayerNorm(1e-5) [-> dropout], then xscale."""
+    """LinearNoSubsampling: Dense -> LayerNorm(1e-5) [-> dropout], then xscale.
+    legacy=True adds the trailing ReLU of LegacyLinearNoSubsampling
+    (subsampling.py:338-383, the v1 LLM's 'linear_legacy' input layer)."""
 
     dim: int
     dropout_rate: float = 0.1
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -221,29 +286,78 @@ class LinearEmbed(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if self.dropout_rate > 0.0 and not deterministic:
             x = nn.Dropout(self.dropout_rate, deterministic=False)(x)
+        if self.legacy:
+            x = jax.nn.relu(x)
         return x * np.sqrt(self.dim)
 
 
 class ConformerEncoder(nn.Module):
-    """Generic full-context / chunk-masked conformer (reference encoder.py:388)."""
+    """Generic full-context / chunk-masked conformer (reference encoder.py:388)
+    with streaming twins (prefill / decode_step over ConformerKVCache) that
+    replace wenet's forward_chunk concat-grow protocol (encoder.py:184-273)."""
 
     cfg: ConformerConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.embed = LinearEmbed(cfg.dim, cfg.dropout_rate,
+                                 legacy=cfg.input_layer == "linear_legacy")
+        self.layers = [ConformerEncoderLayer(cfg, name=f"layers_{i}")
+                       for i in range(cfg.num_blocks)]
+        self.after_norm = nn.LayerNorm(epsilon=1e-5)
+
     def __call__(self, xs: jax.Array, lens: jax.Array,
                  chunk_size: Optional[jax.Array] = None,
                  deterministic: bool = True) -> tuple[jax.Array, jax.Array]:
         cfg = self.cfg
         T = xs.shape[1]
         pad = make_non_pad_mask(lens, T)
-        xs = LinearEmbed(cfg.dim, cfg.dropout_rate, name="embed")(xs, deterministic)
+        xs = self.embed(xs, deterministic)
         pos_emb = espnet_rel_pos_emb(T, cfg.dim, xs.dtype)
         attn_mask = add_chunk_mask(pad, cfg.static_chunk_size, chunk_size)
-        for i in range(cfg.num_blocks):
-            xs = ConformerEncoderLayer(cfg, name=f"layers_{i}")(
-                xs, pos_emb, attn_mask, pad, deterministic)
-        xs = nn.LayerNorm(epsilon=1e-5, name="after_norm")(xs)
+        for layer in self.layers:
+            xs = layer(xs, pos_emb, attn_mask, pad, deterministic)
+        xs = self.after_norm(xs)
         return xs, pad
+
+    def _decode_one(self, x, cache_k, cache_v, pos, valid):
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, lk, lv = layer.decode(x, cache_k[i], cache_v[i], pos, valid)
+            new_k.append(lk)
+            new_v.append(lv)
+        return self.after_norm(x), jnp.stack(new_k), jnp.stack(new_v)
+
+    def prefill(self, xs: jax.Array, cache: "ConformerKVCache"
+                ) -> tuple[jax.Array, "ConformerKVCache"]:
+        """Causal pass over a prefix, writing the cache: a lax.scan of the
+        one-token decode (numerically identical to chunked forward_chunk)."""
+        B = xs.shape[0]
+        xs = self.embed(xs)
+
+        def step(mdl, carry, xt):
+            cache_k, cache_v, pos = carry
+            valid = jnp.broadcast_to(
+                jnp.arange(cache_k.shape[2])[None, :] <= pos,
+                (B, cache_k.shape[2]))
+            out, k, v = mdl._decode_one(xt[:, None, :], cache_k, cache_v, pos, valid)
+            return (k, v, pos + 1), out[:, 0]
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+        (k, v, pos), outs = scan(self, (cache.k, cache.v, cache.pos), xs)
+        return outs, ConformerKVCache(k, v, pos)
+
+    def decode_step(self, x: jax.Array, cache: "ConformerKVCache"
+                    ) -> tuple[jax.Array, "ConformerKVCache"]:
+        """x [B, 1, input_size] -> ([B, 1, dim], cache advanced by 1)."""
+        B = x.shape[0]
+        x = self.embed(x)
+        valid = jnp.broadcast_to(
+            jnp.arange(cache.k.shape[2])[None, :] <= cache.pos,
+            (B, cache.k.shape[2]))
+        out, k, v = self._decode_one(x, cache.k, cache.v, cache.pos, valid)
+        return out, ConformerKVCache(k, v, cache.pos + 1)
 
 
 class PreLookaheadLayer(nn.Module):
@@ -325,6 +439,30 @@ class UpsampleConformerEncoder(nn.Module):
 
 
 # --------------------------------------------------------------------------
+# streaming decode (static KV cache) — the TPU replacement for wenet's
+# forward_chunk concat-grow protocol (reference encoder.py:184-273)
+# --------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class ConformerKVCache(NamedTuple):
+    """Per-layer K/V: [L, B, T_max, H, D]; `pos` = filled length."""
+
+    k: jax.Array
+    v: jax.Array
+    pos: jax.Array
+
+    @staticmethod
+    def create(cfg: ConformerConfig, batch: int, max_len: int,
+               dtype=jnp.float32) -> "ConformerKVCache":
+        H, D = cfg.heads, cfg.dim // cfg.heads
+        shape = (cfg.num_blocks, batch, max_len, H, D)
+        return ConformerKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                                jnp.zeros((), jnp.int32))
+
+
+# --------------------------------------------------------------------------
 # torch checkpoint import
 # --------------------------------------------------------------------------
 
@@ -349,10 +487,15 @@ def _conv(sd, prefix):
     return p
 
 
-def import_conformer_layer(sd, prefix, cfg: ConformerConfig) -> dict:
+def import_conformer_layer(sd, prefix, cfg: ConformerConfig,
+                           transformer_layer: bool = False) -> dict:
+    """transformer_layer=True maps wenet TransformerEncoderLayer key names
+    (norm1/norm2, encoder_layer.py:24-108) onto the same structure."""
+    n_mha = "norm1" if transformer_layer else "norm_mha"
+    n_ff = "norm2" if transformer_layer else "norm_ff"
     p = {
-        "norm_mha": _ln(sd, f"{prefix}.norm_mha"),
-        "norm_ff": _ln(sd, f"{prefix}.norm_ff"),
+        "norm_mha": _ln(sd, f"{prefix}.{n_mha}"),
+        "norm_ff": _ln(sd, f"{prefix}.{n_ff}"),
         "self_attn": {
             "linear_q": _dense(sd, f"{prefix}.self_attn.linear_q"),
             "linear_k": _dense(sd, f"{prefix}.self_attn.linear_k"),
@@ -402,12 +545,16 @@ def import_upsample_encoder_torch(state_dict, cfg: ConformerConfig,
     return {"params": params}
 
 
-def import_conformer_encoder_torch(state_dict, cfg: ConformerConfig) -> dict:
+def import_conformer_encoder_torch(state_dict, cfg: ConformerConfig,
+                                   transformer_layer: bool = False) -> dict:
+    """Imports both wenet ConformerEncoder and TransformerEncoder (set
+    transformer_layer=True for the latter's norm1/norm2 key names)."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     params = {
         "embed": {"linear": _dense(sd, "embed.out.0"), "norm": _ln(sd, "embed.out.1")},
         "after_norm": _ln(sd, "after_norm"),
     }
     for i in range(cfg.num_blocks):
-        params[f"layers_{i}"] = import_conformer_layer(sd, f"encoders.{i}", cfg)
+        params[f"layers_{i}"] = import_conformer_layer(sd, f"encoders.{i}", cfg,
+                                                       transformer_layer)
     return {"params": params}

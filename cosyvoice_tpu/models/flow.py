@@ -140,12 +140,32 @@ class EstimatorConfig:
     static_chunk_size: int = 50  # mel frames per streaming chunk (2*fr*ratio)
 
 
+class Downsample1D(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv1d(self.dim, 3, stride=2, padding=1, name="conv")(x)
+
+
+class Upsample1DT(nn.Module):
+    """Matcha Upsample1D(use_conv_transpose=True): convT k4 s2 p1."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        from cosyvoice_tpu.nn.conv import ConvTranspose1d
+
+        return ConvTranspose1d(self.dim, 4, 2, padding=1, name="conv")(x)
+
+
 class ConditionalDecoder(nn.Module):
     """The CFM estimator v(x, mu, t, spk, cond); channels-last [B, T, C].
 
-    Only the single-resolution topology the production configs use
-    (len(channels) == 1: no real down/upsampling, causal convs in between) is
-    specialized here; multi-level configs follow the same reference layout.
+    Full reference topology (decoder.py:88-334): len(channels) levels with
+    stride-2 down/upsampling between them (v1 uses (256, 256)); the causal
+    production config (channels=(256,)) degenerates to stride-1 causal convs.
     """
 
     cfg: EstimatorConfig
@@ -155,9 +175,8 @@ class ConditionalDecoder(nn.Module):
                  t: jax.Array, spks: jax.Array, cond: jax.Array,
                  streaming: bool = False) -> jax.Array:
         cfg = self.cfg
-        assert len(cfg.channels) == 1, "multi-resolution estimator not yet wired"
-        ch = cfg.channels[0]
-        time_dim = ch * 4
+        chans = tuple(cfg.channels)
+        time_dim = chans[0] * 4
         t_emb = sinusoidal_time_emb(t, cfg.in_channels)
         t_emb = TimestepEmbedding(time_dim, name="time_mlp")(t_emb)
 
@@ -165,27 +184,45 @@ class ConditionalDecoder(nn.Module):
         spks_b = jnp.broadcast_to(spks[:, None, :], (x.shape[0], T, spks.shape[-1]))
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
 
-        # reference semantics: float 0/1 pairwise mask used as additive bias
-        attn_bias = (mask[:, :, None] * mask[:, None, :]).astype(h.dtype)
-
-        def blocks(h, name):
-            h = ResnetBlock1D(ch, cfg.causal, name=f"{name}_resnet")(h, mask, t_emb)
+        def blocks(h, ch, m, name):
+            # reference semantics: float 0/1 pairwise mask as additive bias
+            attn_bias = (m[:, :, None] * m[:, None, :]).astype(h.dtype)
+            h = ResnetBlock1D(ch, cfg.causal, name=f"{name}_resnet")(h, m, t_emb)
             for j in range(cfg.n_blocks):
                 h = DiTBlock(ch, cfg.num_heads, cfg.attention_head_dim,
                              name=f"{name}_tb_{j}")(h, attn_bias)
             return h
 
-        pad = (2, 0) if cfg.causal else (1, 1)
-        h = blocks(h, "down_0")
-        skip = h  # reference saves the skip BEFORE the downsample conv (decoder.py:282)
-        h = Conv1d(ch, 3, padding=pad, name="down_0_downsample")(h * mask[..., None])
+        cpad = (2, 0) if cfg.causal else (1, 1)
+        masks = [mask]
+        skips = []
+        for i, ch in enumerate(chans):
+            m = masks[-1]
+            h = blocks(h, ch, m, f"down_{i}")
+            skips.append(h)  # skip saved BEFORE downsample (decoder.py:282)
+            if i == len(chans) - 1:
+                h = Conv1d(ch, 3, padding=cpad, name=f"down_{i}_downsample")(
+                    h * m[..., None])
+            else:
+                h = Downsample1D(ch, name=f"down_{i}_downsample")(h * m[..., None])
+                masks.append(m[:, ::2])
+        mask_mid = masks[-1]
         for i in range(cfg.num_mid_blocks):
-            h = blocks(h, f"mid_{i}")
-        h = jnp.concatenate([h, skip], axis=-1)
-        h = blocks(h, "up_0")
-        h = Conv1d(ch, 3, padding=pad, name="up_0_upsample")(h * mask[..., None])
-        h = Block1D(ch, cfg.causal, name="final_block")(h, mask)
-        out = Conv1d(cfg.out_channels, 1, name="final_proj")(h * mask[..., None])
+            h = blocks(h, chans[-1], mask_mid, f"mid_{i}")
+        up_chans = chans[::-1] + (chans[0],)
+        for i in range(len(up_chans) - 1):
+            m = masks.pop()
+            skip = skips.pop()
+            h = jnp.concatenate([h[:, : skip.shape[1]], skip], axis=-1)
+            h = blocks(h, up_chans[i + 1], m, f"up_{i}")
+            if i == len(up_chans) - 2:
+                h = Conv1d(up_chans[i + 1], 3, padding=cpad,
+                           name=f"up_{i}_upsample")(h * m[..., None])
+            else:
+                h = Upsample1DT(up_chans[i + 1], name=f"up_{i}_upsample")(
+                    h * m[..., None])
+        h = Block1D(up_chans[-1], cfg.causal, name="final_block")(h, m)
+        out = Conv1d(cfg.out_channels, 1, name="final_proj")(h * m[..., None])
         return out * mask[..., None]
 
 
@@ -425,16 +462,33 @@ def import_estimator_torch(state_dict, cfg: EstimatorConfig) -> dict:
     params = {
         "time_mlp": {"linear_1": _dense(sd, "time_mlp.linear_1"),
                      "linear_2": _dense(sd, "time_mlp.linear_2")},
-        "down_0_resnet": resnet("down_blocks.0.0", causal),
-        "down_0_downsample": conv("down_blocks.0.2"),
-        "up_0_resnet": resnet("up_blocks.0.0", causal),
-        "up_0_upsample": conv("up_blocks.0.2"),
         "final_block": block1d("final_block", causal),
         "final_proj": conv("final_proj"),
     }
-    for j in range(cfg.n_blocks):
-        params[f"down_0_tb_{j}"] = tb(f"down_blocks.0.1.{j}")
-        params[f"up_0_tb_{j}"] = tb(f"up_blocks.0.1.{j}")
+
+    def resample(prefix, transpose=False):
+        # Downsample1D / Upsample1D wrap their conv in `.conv`; the is_last
+        # plain/causal conv sits directly at the index
+        from cosyvoice_tpu.nn.conv import torch_convT_weight
+
+        if f"{prefix}.conv.weight" in sd:
+            if transpose:
+                return {"conv": {"kernel": torch_convT_weight(sd[f"{prefix}.conv.weight"]),
+                                 "bias": jnp.asarray(sd[f"{prefix}.conv.bias"])}}
+            return {"conv": conv(f"{prefix}.conv")}
+        return conv(prefix)
+
+    n_levels = len(cfg.channels)
+    for i in range(n_levels):
+        params[f"down_{i}_resnet"] = resnet(f"down_blocks.{i}.0", causal)
+        params[f"down_{i}_downsample"] = resample(f"down_blocks.{i}.2")
+        for j in range(cfg.n_blocks):
+            params[f"down_{i}_tb_{j}"] = tb(f"down_blocks.{i}.1.{j}")
+    for i in range(n_levels):
+        params[f"up_{i}_resnet"] = resnet(f"up_blocks.{i}.0", causal)
+        params[f"up_{i}_upsample"] = resample(f"up_blocks.{i}.2", transpose=True)
+        for j in range(cfg.n_blocks):
+            params[f"up_{i}_tb_{j}"] = tb(f"up_blocks.{i}.1.{j}")
     for i in range(cfg.num_mid_blocks):
         params[f"mid_{i}_resnet"] = resnet(f"mid_blocks.{i}.0", causal)
         for j in range(cfg.n_blocks):
@@ -458,3 +512,201 @@ def import_flow_torch(state_dict, cfg: FlowConfig) -> dict:
         "decoder": {"estimator": import_estimator_torch(est_sd, cfg.estimator)["params"]},
     }
     return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# v1: MaskedDiffWithXvec (length-regulated, non-causal CFM with flow cache)
+# --------------------------------------------------------------------------
+
+def interp_linear(x: jax.Array, new_len: int) -> jax.Array:
+    """F.interpolate(mode='linear', align_corners=False) on [B, T, C]."""
+    T = x.shape[1]
+    pos = (jnp.arange(new_len) + 0.5) * T / new_len - 0.5
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, T - 1)
+    hi = jnp.clip(lo + 1, 0, T - 1)
+    w = jnp.clip(pos - lo, 0.0, 1.0)[None, :, None]
+    return x[:, lo] * (1 - w) + x[:, hi] * w
+
+
+class InterpolateRegulator(nn.Module):
+    """Linear-interp upsampling + (conv/GN/Mish)xN + conv1 head
+    (reference flow/length_regulator.py:21-70)."""
+
+    channels: int
+    n_stages: int = 4
+    groups: int = 1
+
+    @nn.compact
+    def _model(self, x: jax.Array) -> jax.Array:
+        for i in range(self.n_stages):
+            x = Conv1d(self.channels, 3, padding=1, name=f"conv_{i}")(x)
+            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             name=f"norm_{i}")(x)
+            x = mish(x)
+        return Conv1d(self.channels, 1, name="out_conv")(x)
+
+    def __call__(self, x: jax.Array, ylens: jax.Array, out_len: int) -> jax.Array:
+        mask = make_non_pad_mask(ylens, out_len).astype(x.dtype)[..., None]
+        x = interp_linear(x, out_len)
+        return self._model(x) * mask
+
+    def inference(self, x1: jax.Array, x2: jax.Array, mel_len1: int,
+                  mel_len2: int, input_frame_rate: int = 50,
+                  sample_rate: int = 22050) -> jax.Array:
+        """Prompt/gen interpolated separately; gen split head/mid/tail at
+        20-token edges to keep boundaries clean (length_regulator.py:52-70)."""
+        if x2.shape[1] > 40:
+            edge = int(20 / input_frame_rate * sample_rate / 256)
+            parts = [interp_linear(x2[:, :20], edge),
+                     interp_linear(x2[:, 20:-20], mel_len2 - 2 * edge),
+                     interp_linear(x2[:, -20:], edge)]
+            x2 = jnp.concatenate(parts, axis=1)
+        else:
+            x2 = interp_linear(x2, mel_len2)
+        if x1.shape[1] != 0:
+            x = jnp.concatenate([interp_linear(x1, mel_len1), x2], axis=1)
+        else:
+            x = x2
+        return self._model(x)
+
+
+class ConditionalCFM(CausalConditionalCFM):
+    """v1 CFM: fresh gaussian noise per call + flow_cache pinning the prompt
+    and the last-34-frame overlap across streaming chunks
+    (flow_matching.py:38-70)."""
+
+    def __call__(self, mu, mask, spks, cond, n_timesteps: int = 10,
+                 temperature: float = 1.0, rng=None, noise=None,
+                 prompt_len: int = 0, flow_cache=None, streaming=False):
+        """flow_cache: None or (z_cache, mu_cache) [B, Lc, 80]; returns
+        (mel, new_flow_cache).  `noise` overrides the fresh gaussian draw
+        (cross-framework parity hook)."""
+        B, T, C = mu.shape
+        if noise is None:
+            assert rng is not None, "v1 CFM draws fresh noise: pass rng"
+            noise = jax.random.normal(rng, mu.shape, mu.dtype)
+        z = noise * temperature
+        if flow_cache is not None:
+            m = min(flow_cache[0].shape[1], T)
+            z = z.at[:, :m].set(flow_cache[0][:, :m])
+            mu = mu.at[:, :m].set(flow_cache[1][:, :m])
+        z_cache = jnp.concatenate([z[:, :prompt_len], z[:, -34:]], axis=1)
+        mu_cache = jnp.concatenate([mu[:, :prompt_len], mu[:, -34:]], axis=1)
+        t_span = cosine_t_span(n_timesteps, mu.dtype)
+        mel = self.solve_euler(z, t_span, mu, mask, spks, cond, streaming)
+        return mel, (z_cache, mu_cache)
+
+
+@dataclass(frozen=True)
+class FlowV1Config:
+    input_size: int = 512
+    output_size: int = 80
+    spk_embed_dim: int = 192
+    vocab_size: int = 4096
+    input_frame_rate: int = 25
+    encoder: ConformerConfig = field(default_factory=lambda: ConformerConfig(
+        dim=512, heads=8, linear_units=2048, num_blocks=6,
+        dropout_rate=0.1, attention_dropout_rate=0.1, input_size=512))
+    cfm: CFMConfig = field(default_factory=CFMConfig)
+    estimator: EstimatorConfig = field(default_factory=lambda: EstimatorConfig(
+        in_channels=320, out_channels=80, causal=False, channels=(256, 256),
+        n_blocks=4, num_mid_blocks=12, num_heads=8, attention_head_dim=64))
+    regulator_stages: int = 4
+
+
+class MaskedDiffWithXvec(nn.Module):
+    """CosyVoice-v1 flow model (reference flow/flow.py:25-160)."""
+
+    cfg: FlowV1Config = field(default_factory=FlowV1Config)
+
+    def setup(self):
+        cfg = self.cfg
+        from cosyvoice_tpu.models.conformer import ConformerEncoder
+
+        self.input_embedding = nn.Embed(cfg.vocab_size, cfg.input_size)
+        self.spk_embed_affine_layer = nn.Dense(cfg.output_size)
+        self.encoder = ConformerEncoder(cfg.encoder)
+        self.encoder_proj = nn.Dense(cfg.output_size)
+        self.length_regulator = InterpolateRegulator(cfg.output_size,
+                                                     cfg.regulator_stages)
+        self.decoder = ConditionalCFM(cfg.cfm, cfg.estimator)
+
+    def inference(self, token, token_len, prompt_feat, embedding, rng=None,
+                  prompt_token_len: int = 0, mel_len2: int = 0,
+                  n_timesteps: int = 10, noise=None,
+                  flow_cache=None, sample_rate: int = 22050):
+        """token = [prompt_token ++ gen_token] [1, T]; prompt_feat [1, P, 80];
+        mel_len2 = gen-mel frames (token_len2/fr*sr/256, computed by caller).
+        Returns (mel [1, mel_len2, 80], new_flow_cache)."""
+        cfg = self.cfg
+        spks = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True).clip(1e-12)
+        spks = self.spk_embed_affine_layer(spks)
+        mask = make_non_pad_mask(token_len, token.shape[1])
+        emb = self.input_embedding(jnp.maximum(token, 0)) * mask[..., None]
+        h, _ = self.encoder(emb, token_len)
+        h = self.encoder_proj(h)
+        P = prompt_feat.shape[1]
+        h = self.length_regulator.inference(
+            h[:, :prompt_token_len], h[:, prompt_token_len:], P, mel_len2,
+            cfg.input_frame_rate, sample_rate)
+        T2 = P + mel_len2
+        conds = jnp.zeros((h.shape[0], T2, cfg.output_size), h.dtype)
+        conds = conds.at[:, :P].set(prompt_feat)
+        mel_mask = jnp.ones((h.shape[0], T2), h.dtype)
+        mel, flow_cache = self.decoder(h, mel_mask, spks, conds,
+                                       n_timesteps=n_timesteps, rng=rng,
+                                       noise=noise, prompt_len=P,
+                                       flow_cache=flow_cache)
+        return mel[:, P:], flow_cache
+
+    def __call__(self, token, token_len, feat, feat_len, embedding, rng,
+                 deterministic: bool = False):
+        """Training loss (flow/flow.py:64-106)."""
+        cfg = self.cfg
+        k_cond_on, k_cond_len, k_cfm = jax.random.split(rng, 3)
+        spks = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True).clip(1e-12)
+        spks = self.spk_embed_affine_layer(spks)
+        mask = make_non_pad_mask(token_len, token.shape[1])
+        emb = self.input_embedding(jnp.maximum(token, 0)) * mask[..., None]
+        h, _ = self.encoder(emb, token_len, deterministic=deterministic)
+        h = self.encoder_proj(h)
+        T2 = feat.shape[1]
+        h = self.length_regulator(h, feat_len, T2)
+
+        B = h.shape[0]
+        use_cond = jax.random.bernoulli(k_cond_on, 0.5, (B,))
+        frac = jax.random.uniform(k_cond_len, (B,))
+        idx = (frac * 0.3 * feat_len).astype(jnp.int32)
+        pos = jnp.arange(T2)[None, :]
+        cond_mask = (pos < idx[:, None]) & use_cond[:, None]
+        conds = jnp.where(cond_mask[..., None], feat, 0.0)
+        fmask = make_non_pad_mask(feat_len, T2).astype(h.dtype)
+        loss, _ = self.decoder.compute_loss(feat, fmask, h, spks, conds, k_cfm)
+        return {"loss": loss}
+
+
+def import_flow_v1_torch(state_dict, cfg: FlowV1Config) -> dict:
+    from cosyvoice_tpu.models.conformer import (_dense,
+                                                import_conformer_encoder_torch)
+    from cosyvoice_tpu.nn.conv import torch_conv_weight
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items() if k.startswith("encoder.")}
+    est_sd = {k[len("decoder.estimator."):]: v for k, v in sd.items()
+              if k.startswith("decoder.estimator.")}
+    reg = {}
+    for i in range(cfg.regulator_stages):
+        reg[f"conv_{i}"] = {"kernel": torch_conv_weight(sd[f"length_regulator.model.{3 * i}.weight"]),
+                            "bias": jnp.asarray(sd[f"length_regulator.model.{3 * i}.bias"])}
+        reg[f"norm_{i}"] = {"scale": jnp.asarray(sd[f"length_regulator.model.{3 * i + 1}.weight"]),
+                            "bias": jnp.asarray(sd[f"length_regulator.model.{3 * i + 1}.bias"])}
+    reg["out_conv"] = {"kernel": torch_conv_weight(sd[f"length_regulator.model.{3 * cfg.regulator_stages}.weight"]),
+                       "bias": jnp.asarray(sd[f"length_regulator.model.{3 * cfg.regulator_stages}.bias"])}
+    return {"params": {
+        "input_embedding": {"embedding": jnp.asarray(sd["input_embedding.weight"])},
+        "spk_embed_affine_layer": _dense(sd, "spk_embed_affine_layer"),
+        "encoder_proj": _dense(sd, "encoder_proj"),
+        "encoder": import_conformer_encoder_torch(enc_sd, cfg.encoder)["params"],
+        "length_regulator": reg,
+        "decoder": {"estimator": import_estimator_torch(est_sd, cfg.estimator)["params"]},
+    }}

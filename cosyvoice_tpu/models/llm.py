@@ -143,10 +143,13 @@ class Qwen2LM(nn.Module):
         emb, seq_len = self.prefill_embeds(text, text_len, speech, speech_len)
         B, N, _ = emb.shape
         pad = make_non_pad_mask(seq_len, N)
-        bias = jnp.where(pad[:, None, None, :], 0.0, NEG_INF).astype(emb.dtype)
-        # training uses full (non-causal-masked... actually full) attention over
-        # valid positions like the reference (llm.py:1043-1050 uses pad mask
-        # only with decoding_chunk_size=-1 => full context)
+        # the reference passes a full-context [B,T,T] mask, but
+        # Qwen2Encoder.forward_one_step reduces it to its pad row
+        # (llm.py:756-757) and HF Qwen2 always adds causal masking —
+        # so training attention is causal + padding.
+        causal = jnp.arange(N)[None, :] <= jnp.arange(N)[:, None]
+        bias = jnp.where(causal[None, None] & pad[:, None, None, :],
+                         0.0, NEG_INF).astype(emb.dtype)
         positions = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
         hidden, _ = self.llm(emb, positions, bias)
         logits = self.llm_decoder(hidden)
@@ -223,30 +226,36 @@ def _sample(cfg: SamplingConfig, rng, logp, recent, recent_valid):
     raise ValueError(cfg.method)
 
 
-@partial(jax.jit, static_argnames=("model", "max_steps", "cache_len"))
-def lm_generate(model: Qwen2LM, params, text, text_len, prompt_speech,
-                prompt_speech_len, min_len, max_len, rng,
-                max_steps: int, cache_len: int):
-    """Full AR generation in one jit: returns (tokens [B, max_steps], count [B]).
+def lm_generate_from_embeds(model, params, embeds, seq_len, min_len, max_len,
+                            rng, max_steps: int, cache_len: int,
+                            causal_prefill: bool = True):
+    """Generic AR loop over a Qwen2-body model given packed prefix embeds.
 
-    text [B, Tt] = prompt_text ++ text (padded); min/max_len [B] dynamic from
-    the ratios; max_steps/cache_len static (bucketed by the caller).
+    The model must expose forward_hidden / decode_logits / speech_emb methods
+    and cfg.{eos_token, sampling}.  NOTE: the reference passes "full" masks in
+    several variants (llm.py:1141, 1435-1437), but HF reduces them to pad rows
+    and Qwen2 always applies causal masking — so causal_prefill=True matches
+    every reference variant; False is exposed for experimentation only.
+    Returns (tokens [B, max_steps], count [B]).
     """
     cfg = model.cfg
     eos = cfg.eos_token
-    B = text.shape[0]
+    B = embeds.shape[0]
+    cls = type(model)
 
-    embeds, seq_len = model.apply(params, text, text_len, prompt_speech,
-                                  prompt_speech_len, method=Qwen2LM.prefill_embeds)
     Tp = embeds.shape[1]
     cache = KVCache.create(cfg.qwen, B, cache_len, dtype=embeds.dtype)
-    bias = causal_prefill_bias(Tp, cache_len, seq_len, B, embeds.dtype)
+    if causal_prefill:
+        bias = causal_prefill_bias(Tp, cache_len, seq_len, B, embeds.dtype)
+    else:
+        key_ok = jnp.arange(cache_len)[None, :] < seq_len[:, None]
+        bias = jnp.where(key_ok[:, None, None, :], 0.0, NEG_INF).astype(embeds.dtype)
+        bias = jnp.broadcast_to(bias, (B, 1, Tp, cache_len))
     positions = jnp.broadcast_to(jnp.arange(Tp)[None], (B, Tp))
     hidden, cache = model.apply(params, embeds, positions, bias, cache,
-                                method=Qwen2LM.forward_hidden)
-    # cache.pos advanced by Tp, but per-row valid length is seq_len; decode
-    # positions & bias must follow per-row seq_len.  For B=1 (the streaming
-    # session case) seq_len == Tp is enforced by the caller's exact packing.
+                                method=cls.forward_hidden)
+    # cache.pos advanced by Tp; rows shorter than Tp leave garbage K/V in
+    # their padding slots — masked per-row by the decode bias below.
     last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
 
     win = cfg.sampling.win_size
@@ -263,7 +272,7 @@ def lm_generate(model: Qwen2LM, params, text, text_len, prompt_speech,
     )
 
     def sample_from(hidden_last, state):
-        logits = model.apply(params, hidden_last, method=Qwen2LM.decode_logits)
+        logits = model.apply(params, hidden_last, method=cls.decode_logits)
         logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
         # suppress EOS while step < min_len (mask instead of re-draw)
         suppress = state.step < min_len
@@ -282,7 +291,7 @@ def lm_generate(model: Qwen2LM, params, text, text_len, prompt_speech,
         recent = jax.vmap(lambda r, t, e: jnp.where(e, jnp.roll(r, -1).at[-1].set(t), r))(
             state.recent, tok, emitted)
         recent_n = jnp.minimum(state.recent_n + emitted, win)
-        new_emb = model.apply(params, tok[:, None], method=Qwen2LM.speech_emb)
+        new_emb = model.apply(params, tok[:, None], method=cls.speech_emb)
         prev_emb = jnp.where(emitted[:, None, None], new_emb, state.prev_emb)
         return state._replace(prev_emb=prev_emb, step=state.step + 1,
                               count=state.count + emitted, done=done, out=out,
@@ -291,19 +300,40 @@ def lm_generate(model: Qwen2LM, params, text, text_len, prompt_speech,
     tok0, rng0 = sample_from(last, state)
     state = advance(state._replace(rng=rng0), tok0, rng0)
 
+    Tp_total = Tp  # prefill buffer length (rows may be shorter: seq_len)
+
     def cond(state):
         return (~jnp.all(state.done)) & (state.step < max_steps)
 
     def body(state):
-        pos = jnp.broadcast_to(state.cache.pos[None, None], (B, 1))
-        bias = decode_step_bias(state.cache.pos, cache_len, B, state.prev_emb.dtype)
+        # per-row logical position: row b consumed seq_len[b] prefill tokens
+        # plus (step-1) decode tokens so far
+        pos = (seq_len + state.step - 1)[:, None]
+        # per-row key validity: prefill slots [0, seq_len_b) plus decode
+        # slots [Tp_total, cache.pos]
+        slot = jnp.arange(cache_len)[None, None, None, :]
+        valid = (slot < seq_len[:, None, None, None]) | \
+                ((slot >= Tp_total) & (slot <= state.cache.pos))
+        bias = jnp.where(valid, 0.0, NEG_INF).astype(state.prev_emb.dtype)
         hidden, cache = model.apply(params, state.prev_emb, pos, bias,
-                                    state.cache, method=Qwen2LM.forward_hidden)
+                                    state.cache, method=cls.forward_hidden)
         tok, rng = sample_from(hidden, state)
         return advance(state._replace(cache=cache, rng=rng), tok, rng)
 
     state = jax.lax.while_loop(cond, body, state)
     return state.out, state.count
+
+
+
+@partial(jax.jit, static_argnames=("model", "max_steps", "cache_len"))
+def lm_generate(model: Qwen2LM, params, text, text_len, prompt_speech,
+                prompt_speech_len, min_len, max_len, rng,
+                max_steps: int, cache_len: int):
+    """CosyVoice2 Qwen2LM generation (packed [sos,text,task,speech] prefix)."""
+    embeds, seq_len = model.apply(params, text, text_len, prompt_speech,
+                                  prompt_speech_len, method=Qwen2LM.prefill_embeds)
+    return lm_generate_from_embeds(model, params, embeds, seq_len, min_len,
+                                   max_len, rng, max_steps, cache_len)
 
 
 def import_qwen2lm_torch(state_dict, cfg: LMConfig) -> dict:
@@ -319,4 +349,236 @@ def import_qwen2lm_torch(state_dict, cfg: LMConfig) -> dict:
         "speech_embedding": {"embedding": jnp.asarray(sd["speech_embedding.weight"])},
         "llm_decoder": {"kernel": jnp.asarray(sd["llm_decoder.weight"].T),
                         "bias": jnp.asarray(sd["llm_decoder.bias"])},
+    }}
+
+
+# --------------------------------------------------------------------------
+# v1: TransformerLM (conformer text encoder + transformer-encoder LM body)
+# --------------------------------------------------------------------------
+
+from cosyvoice_tpu.models.conformer import (ConformerConfig, ConformerEncoder,
+                                            ConformerKVCache)
+
+
+@dataclass(frozen=True)
+class TransformerLMConfig:
+    """Reference `cosyvoice/llm/llm.py:42-237` + v1 yaml
+    (examples/tts_vc/cosyvoice/conf/cosyvoice.yaml:17-63)."""
+
+    text_encoder_input_size: int = 512
+    llm_input_size: int = 1024
+    llm_output_size: int = 1024
+    text_token_size: int = 60515
+    speech_token_size: int = 4096
+    spk_embed_dim: int = 192
+    length_normalized_loss: bool = True
+    lsm_weight: float = 0.0
+    sampling: SamplingConfig = field(default_factory=lambda: SamplingConfig(
+        method="non_random_ras", top_p=0.8, top_k=10, win_size=50, tau_r=0.1))
+    text_encoder: ConformerConfig = field(default_factory=lambda: ConformerConfig(
+        dim=1024, heads=16, linear_units=4096, num_blocks=6, input_size=512,
+        dropout_rate=0.1, attention_dropout_rate=0.0, static_chunk_size=1))
+    llm: ConformerConfig = field(default_factory=lambda: ConformerConfig(
+        dim=1024, heads=16, linear_units=4096, num_blocks=14, input_size=1024,
+        dropout_rate=0.1, attention_dropout_rate=0.0, static_chunk_size=1,
+        input_layer="linear_legacy", activation="relu"))
+    min_token_text_ratio: float = 2.0
+    max_token_text_ratio: float = 20.0
+
+    @property
+    def eos_token(self) -> int:
+        return self.speech_token_size
+
+
+class TransformerLM(nn.Module):
+    cfg: TransformerLMConfig = field(default_factory=TransformerLMConfig)
+
+    def setup(self):
+        cfg = self.cfg
+        self.text_embedding = nn.Embed(cfg.text_token_size,
+                                       cfg.text_encoder_input_size)
+        self.text_encoder = ConformerEncoder(cfg.text_encoder)
+        self.text_encoder_affine_layer = nn.Dense(cfg.llm_input_size)
+        self.llm_embedding = nn.Embed(2, cfg.llm_input_size)
+        self.llm = ConformerEncoder(cfg.llm)
+        self.llm_decoder = nn.Dense(cfg.speech_token_size + 1)
+        self.speech_embedding = nn.Embed(cfg.speech_token_size, cfg.llm_input_size)
+        self.spk_embed_affine_layer = nn.Dense(cfg.llm_input_size)
+
+    def encode_text(self, text: jax.Array, text_len: jax.Array,
+                    deterministic: bool = True) -> jax.Array:
+        """text ids -> llm-dim features through the causal conformer
+        (llm.py:88-94; decoding_chunk_size=1 == static chunk 1 causal)."""
+        h = self.text_embedding(text)
+        h, _ = self.text_encoder(h, text_len, deterministic=deterministic)
+        return self.text_encoder_affine_layer(h)
+
+    def prefill_embeds(self, text, text_len, prompt_speech, prompt_speech_len,
+                       embedding, deterministic: bool = True):
+        """[sos, spk_emb, text_enc, task, speech_emb] (llm.py:100-152,201-206).
+        embedding [B, spk_dim] or None (zero-shot without spk vec keeps the
+        slot out, matching the reference's empty-embedding concat)."""
+        cfg = self.cfg
+        B, Tt = text.shape
+        Ts = prompt_speech.shape[1]
+        D = cfg.llm_input_size
+        text_h = self.encode_text(text, text_len, deterministic)
+        speech_emb = self.speech_embedding(prompt_speech)
+        sos = self.llm_embedding(jnp.full((B, 1), 0))
+        task = self.llm_embedding(jnp.full((B, 1), 1))
+        has_spk = embedding is not None and embedding.shape[-1] > 0
+        if has_spk:
+            spk = embedding / jnp.linalg.norm(embedding, axis=-1,
+                                              keepdims=True).clip(1e-12)
+            spk = self.spk_embed_affine_layer(spk)[:, None, :]
+        n_fixed = 2 if has_spk else 1  # sos (+ spk)
+        N = n_fixed + Tt + 1 + Ts
+        pos = jnp.arange(N)[None, :]
+        tl = text_len[:, None]
+        in_text = (pos >= n_fixed) & (pos < n_fixed + tl)
+        is_task = pos == n_fixed + tl
+        in_speech = (pos > n_fixed + tl) & (pos < n_fixed + 1 + tl + prompt_speech_len[:, None])
+        text_idx = jnp.clip(pos - n_fixed, 0, Tt - 1)
+        speech_idx = jnp.clip(pos - n_fixed - 1 - tl, 0, max(Ts - 1, 0))
+        gt = jnp.take_along_axis(text_h, jnp.broadcast_to(text_idx, (B, N))[..., None], axis=1)
+        gs = (jnp.take_along_axis(speech_emb, jnp.broadcast_to(speech_idx, (B, N))[..., None], axis=1)
+              if Ts > 0 else jnp.zeros((B, N, D), text_h.dtype))
+        emb = jnp.where(pos[..., None] == 0, sos,
+              jnp.where(in_text[..., None], gt,
+              jnp.where(is_task[..., None], task,
+              jnp.where(in_speech[..., None], gs, 0.0))))
+        if has_spk:
+            emb = jnp.where(pos[..., None] == 1, spk, emb)
+        seq_len = n_fixed + 1 + text_len + prompt_speech_len
+        return emb, seq_len
+
+    def __call__(self, text, text_len, speech, speech_len, embedding,
+                 deterministic: bool = True) -> dict:
+        """Training CE over [IGNORE x (2+text_len), speech, EOS] (llm.py:125-128)."""
+        cfg = self.cfg
+        emb, seq_len = self.prefill_embeds(text, text_len, speech, speech_len,
+                                           embedding, deterministic)
+        B, N, _ = emb.shape
+        pad = make_non_pad_mask(seq_len, N)
+        # v1 trains causally: the llm body itself applies static_chunk_size=1
+        hidden, _ = self.llm(emb, seq_len, deterministic=deterministic)
+        logits = self.llm_decoder(hidden)
+        pos = jnp.arange(N)[None, :]
+        tl = text_len[:, None]
+        sl = speech_len[:, None]
+        sp_idx = jnp.clip(pos - 2 - tl, 0, speech.shape[1] - 1)
+        tgt_speech = jnp.take_along_axis(speech, jnp.broadcast_to(sp_idx, (B, N)), axis=1)
+        is_speech = (pos >= 2 + tl) & (pos < 2 + tl + sl)
+        is_eos = pos == 2 + tl + sl
+        target = jnp.where(is_speech, tgt_speech,
+                 jnp.where(is_eos, cfg.eos_token, IGNORE_ID))
+        return {"loss": masked_ce_loss(logits, target, cfg.lsm_weight,
+                                       cfg.length_normalized_loss),
+                "acc": masked_accuracy(logits, target)}
+
+    # decode pieces
+    def llm_prefill(self, embeds, cache):
+        return self.llm.prefill(embeds, cache)
+
+    def llm_decode_step(self, x, cache):
+        return self.llm.decode_step(x, cache)
+
+    def decode_logits(self, hidden):
+        return self.llm_decoder(hidden)
+
+    def speech_emb(self, tokens):
+        return self.speech_embedding(tokens)
+
+
+@partial(jax.jit, static_argnames=("model", "max_steps", "cache_len", "has_spk"))
+def lm_generate_v1(model: TransformerLM, params, text, text_len, prompt_speech,
+                   prompt_speech_len, embedding, min_len, max_len, rng,
+                   max_steps: int, cache_len: int, has_spk: bool = True):
+    """v1 AR generation (llm.py:171-237): conformer-decode with KV cache,
+    EOS forced off at step 0 (llm.py:220-222); the fork's sampling_ids does
+    NOT re-draw on EOS (llm.py:163-168), so min_len only gates suppression
+    at i==0 like the reference."""
+    cfg = model.cfg
+    eos = cfg.eos_token
+    B = text.shape[0]
+    embeds, seq_len = model.apply(params, text, text_len, prompt_speech,
+                                  prompt_speech_len,
+                                  embedding if has_spk else None,
+                                  method=TransformerLM.prefill_embeds)
+    cache = ConformerKVCache.create(cfg.llm, B, cache_len, embeds.dtype)
+    hidden, cache = model.apply(params, embeds, cache,
+                                method=TransformerLM.llm_prefill)
+    last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
+    # NOTE: prefill writes seq_len..Tp garbage for short rows; B=1 exact.
+
+    win = cfg.sampling.win_size
+    state = GenState(cache=cache,
+                     prev_emb=jnp.zeros((B, 1, cfg.llm_input_size), embeds.dtype),
+                     step=jnp.zeros((), jnp.int32),
+                     count=jnp.zeros((B,), jnp.int32),
+                     done=jnp.zeros((B,), bool),
+                     out=jnp.zeros((B, max_steps), jnp.int32),
+                     recent=jnp.zeros((B, win), jnp.int32),
+                     recent_n=jnp.zeros((B,), jnp.int32), rng=rng)
+
+    def sample_from(hidden_last, state):
+        logits = model.apply(params, hidden_last, method=TransformerLM.decode_logits)
+        logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
+        suppress = state.step == 0  # force continue on the first token
+        logp = jnp.where(suppress & (jnp.arange(logp.shape[-1])[None] == eos),
+                         NEG_INF, logp)
+        rng, k = jax.random.split(state.rng)
+        rv = jnp.arange(win)[None] < state.recent_n[:, None]
+        tok = _sample(cfg.sampling, k, logp, state.recent, rv)
+        return tok, rng
+
+    def advance(state, tok, rng):
+        emitted = (tok < eos) & ~state.done
+        done = state.done | (tok >= eos) | (state.step + 1 >= max_len)
+        out = jax.vmap(lambda o, c, t, e: jnp.where(e, o.at[c].set(t), o))(
+            state.out, state.count, tok, emitted)
+        recent = jax.vmap(lambda r, t, e: jnp.where(e, jnp.roll(r, -1).at[-1].set(t), r))(
+            state.recent, tok, emitted)
+        recent_n = jnp.minimum(state.recent_n + emitted, win)
+        new_emb = model.apply(params, jnp.minimum(tok, eos - 1)[:, None],
+                              method=TransformerLM.speech_emb)
+        prev_emb = jnp.where(emitted[:, None, None], new_emb, state.prev_emb)
+        return state._replace(prev_emb=prev_emb, step=state.step + 1,
+                              count=state.count + emitted, done=done, out=out,
+                              recent=recent, recent_n=recent_n, rng=rng)
+
+    tok0, rng0 = sample_from(last, state)
+    state = advance(state, tok0, rng0)
+
+    def cond(state):
+        return (~jnp.all(state.done)) & (state.step < max_steps)
+
+    def body(state):
+        hidden, cache = model.apply(params, state.prev_emb, state.cache,
+                                    method=TransformerLM.llm_decode_step)
+        tok, rng = sample_from(hidden, state)
+        return advance(state._replace(cache=cache), tok, rng)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state.out, state.count
+
+
+def import_transformer_lm_torch(state_dict, cfg: TransformerLMConfig) -> dict:
+    from cosyvoice_tpu.models.conformer import (_dense,
+                                                import_conformer_encoder_torch)
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    te_sd = {k[len("text_encoder."):]: v for k, v in sd.items()
+             if k.startswith("text_encoder.")}
+    llm_sd = {k[len("llm."):]: v for k, v in sd.items() if k.startswith("llm.")}
+    return {"params": {
+        "text_embedding": {"embedding": jnp.asarray(sd["text_embedding.weight"])},
+        "text_encoder": import_conformer_encoder_torch(te_sd, cfg.text_encoder)["params"],
+        "text_encoder_affine_layer": _dense(sd, "text_encoder_affine_layer"),
+        "llm_embedding": {"embedding": jnp.asarray(sd["llm_embedding.weight"])},
+        "llm": import_conformer_encoder_torch(llm_sd, cfg.llm,
+                                              transformer_layer=True)["params"],
+        "llm_decoder": _dense(sd, "llm_decoder"),
+        "speech_embedding": {"embedding": jnp.asarray(sd["speech_embedding.weight"])},
+        "spk_embed_affine_layer": _dense(sd, "spk_embed_affine_layer"),
     }}

@@ -233,3 +233,184 @@ def _interp_linear(mel: np.ndarray, new_len: int) -> np.ndarray:
     hi = np.clip(lo + 1, 0, T - 1)
     w = np.clip(pos - lo, 0.0, 1.0)[:, None]
     return mel[lo] * (1 - w) + mel[hi] * w
+
+
+@dataclass
+class CosyVoiceV1Model:
+    """v1 streaming engine (reference cli/model.py:30-292): consumed-token
+    sliding window with growing hop, flow_cache (z/mu pinning), mel-overlap
+    Hamming fade + HiFT mel/source/speech caches at 256-sample hop."""
+
+    llm: object                 # models.llm.TransformerLM
+    flow: object                # models.flow.MaskedDiffWithXvec
+    hift: object                # models.hift.HiFTGenerator (22.05 kHz config)
+    llm_params: dict
+    flow_params: dict
+    hift_params: dict
+    sample_rate: int = 22050
+    max_decode_tokens: int = 800
+
+    def __post_init__(self):
+        fr = self.flow.cfg.input_frame_rate
+        self.fr = fr
+        self.token_min_hop_len = 2 * fr
+        self.token_max_hop_len = 4 * fr
+        self.token_overlap_len = 20
+        self.mel_overlap_len = int(self.token_overlap_len / fr * self.sample_rate / 256)
+        self.mel_window = np.hamming(2 * self.mel_overlap_len)
+        self.mel_cache_len = 20
+        self.hop_samples = self.hift.cfg.upsample_scale  # 256 @ 22.05 kHz
+        self.source_cache_len = self.mel_cache_len * self.hop_samples
+        self.speech_window = np.hamming(2 * self.source_cache_len)
+        self.stream_scale_factor = 1
+
+        flow_model, hift_model = self.flow, self.hift
+        from cosyvoice_tpu.models.flow import MaskedDiffWithXvec
+
+        @partial(jax.jit, static_argnames=("prompt_token_len", "mel_len2", "has_cache"))
+        def _flow_infer(params, token, token_len, prompt_feat, embedding, rng,
+                        prompt_token_len, mel_len2, flow_cache, has_cache):
+            return flow_model.apply(params, token, token_len, prompt_feat,
+                                    embedding, rng,
+                                    prompt_token_len=prompt_token_len,
+                                    mel_len2=mel_len2,
+                                    flow_cache=flow_cache if has_cache else None,
+                                    sample_rate=self.sample_rate,
+                                    method=MaskedDiffWithXvec.inference)
+
+        @jax.jit
+        def _hift_infer(params, mel, cache_source, rng):
+            from cosyvoice_tpu.models.hift import HiFTGenerator
+
+            return hift_model.apply(params, mel, cache_source,
+                                    rngs={"noise": rng},
+                                    method=HiFTGenerator.inference)
+
+        @jax.jit
+        def _hift_infer_nocache(params, mel, rng):
+            from cosyvoice_tpu.models.hift import HiFTGenerator
+
+            return hift_model.apply(params, mel, rngs={"noise": rng},
+                                    method=HiFTGenerator.inference)
+
+        self._flow_infer = _flow_infer
+        self._hift_infer = _hift_infer
+        self._hift_infer_nocache = _hift_infer_nocache
+        self._noise_rng = jax.random.PRNGKey(0)
+        self._noise_ctr = 0
+
+    def llm_generate(self, text_tokens, prompt_text_len, prompt_speech_tokens,
+                     embedding, rng):
+        from cosyvoice_tpu.models.llm import lm_generate_v1
+
+        text = jnp.asarray(text_tokens)[None]
+        psp = jnp.asarray(prompt_speech_tokens)[None].astype(jnp.int32)
+        new_text = text.shape[1] - prompt_text_len
+        min_len = jnp.asarray([int(new_text * self.llm.cfg.min_token_text_ratio)])
+        max_len = jnp.asarray([int(new_text * self.llm.cfg.max_token_text_ratio)])
+        cap = self.max_decode_tokens
+        has_spk = embedding is not None and np.asarray(embedding).size > 0
+        emb = jnp.asarray(embedding)[None] if has_spk else jnp.zeros((1, self.llm.cfg.spk_embed_dim))
+        cache_len = round_up(3 + text.shape[1] + psp.shape[1] + cap, 128)
+        out, count = lm_generate_v1(self.llm, self.llm_params, text,
+                                    jnp.asarray([text.shape[1]]), psp,
+                                    jnp.asarray([psp.shape[1]]), emb,
+                                    min_len, max_len, rng, max_steps=cap,
+                                    cache_len=cache_len, has_spk=has_spk)
+        return np.asarray(out[0][: int(count[0])])
+
+    def token2wav(self, tokens, prompt_tokens, prompt_feat, embedding,
+                  session, finalize, speed=1.0):
+        tok = np.concatenate([prompt_tokens, tokens]).astype(np.int32)
+        self._noise_ctr += 1
+        rng = jax.random.fold_in(self._noise_rng, self._noise_ctr)
+        mel_len2 = int(len(tokens) / self.fr * self.sample_rate / 256)
+        fc = session.get("flow_cache")
+        mel, new_fc = self._flow_infer(
+            self.flow_params, jnp.asarray(tok)[None], jnp.asarray([len(tok)]),
+            jnp.asarray(prompt_feat)[None], jnp.asarray(embedding)[None], rng,
+            prompt_token_len=len(prompt_tokens), mel_len2=mel_len2,
+            flow_cache=fc if fc is not None else (jnp.zeros((1, 0, 80)),) * 2,
+            has_cache=fc is not None)
+        session["flow_cache"] = tuple(np.asarray(c) for c in new_fc)
+        mel = np.asarray(mel)[0]  # [T, 80]
+
+        if session.get("mel_overlap") is not None:
+            mel = self._fade_mel(mel, session["mel_overlap"])
+        cache = session.get("hift")
+        cache_source = None
+        if cache is not None:
+            mel = np.concatenate([cache["mel"], mel], axis=0)
+            cache_source = cache["source"]
+        self._noise_ctr += 1
+        hrng = jax.random.fold_in(self._noise_rng, self._noise_ctr)
+        if not finalize:
+            session["mel_overlap"] = mel[-self.mel_overlap_len:]
+            mel = mel[: -self.mel_overlap_len]
+            wav, source = self._vocode(mel, cache_source, hrng)
+            if cache is not None:
+                wav = self._fade_speech(wav, cache["speech"])
+            session["hift"] = {"mel": mel[-self.mel_cache_len:],
+                               "source": source[-self.source_cache_len:],
+                               "speech": wav[-self.source_cache_len:]}
+            return wav[: -self.source_cache_len]
+        if speed != 1.0:
+            assert cache is None, "speed change only supports non-stream mode"
+            mel = _interp_linear(mel, int(mel.shape[0] / speed))
+        wav, _ = self._vocode(mel, cache_source, hrng)
+        if cache is not None:
+            wav = self._fade_speech(wav, cache["speech"])
+        return wav
+
+    def _vocode(self, mel, cache_source, rng):
+        n = mel.shape[0]
+        if cache_source is not None and cache_source.shape[0] > 0:
+            wav, source = self._hift_infer(self.hift_params,
+                                           jnp.asarray(mel)[None],
+                                           jnp.asarray(cache_source)[None, :, None],
+                                           rng)
+        else:
+            wav, source = self._hift_infer_nocache(self.hift_params,
+                                                   jnp.asarray(mel)[None], rng)
+        return (np.asarray(wav)[0, : n * self.hop_samples],
+                np.asarray(source)[0, : n * self.hop_samples, 0])
+
+    def _fade_mel(self, mel, prev_tail):
+        n = prev_tail.shape[0]
+        w = self.mel_window
+        mel = mel.copy()
+        mel[:n] = mel[:n] * w[:n, None] + prev_tail * w[n:, None]
+        return mel
+
+    def _fade_speech(self, wav, prev_tail):
+        n = self.source_cache_len
+        w = self.speech_window
+        wav = wav.copy()
+        wav[:n] = wav[:n] * w[:n] + prev_tail[-n:] * w[n:]
+        return wav
+
+    def tts(self, text_tokens, prompt_text_len, llm_prompt_speech_token,
+            flow_prompt_speech_token, prompt_speech_feat, flow_embedding,
+            llm_embedding=None, stream=False, speed=1.0, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(int(time.time_ns() % (1 << 31)))
+        session = {"hift": None, "mel_overlap": None, "flow_cache": None}
+        tokens = list(self.llm_generate(text_tokens, prompt_text_len,
+                                        llm_prompt_speech_token,
+                                        llm_embedding, rng))
+        prompt_feat = np.asarray(prompt_speech_feat, np.float32)
+        emb = np.asarray(flow_embedding, np.float32)
+        fpt = np.asarray(flow_prompt_speech_token, np.int32)
+        if not stream:
+            yield {"tts_speech": self.token2wav(np.asarray(tokens), fpt,
+                                                prompt_feat, emb, session,
+                                                finalize=True, speed=speed)}
+            return
+        hop = self.token_min_hop_len
+        while len(tokens) >= hop + self.token_overlap_len:
+            chunk = np.asarray(tokens[: hop + self.token_overlap_len])
+            yield {"tts_speech": self.token2wav(chunk, fpt, prompt_feat, emb,
+                                                session, finalize=False)}
+            tokens = tokens[hop:]
+            hop = min(self.token_max_hop_len, int(hop * self.stream_scale_factor))
+        yield {"tts_speech": self.token2wav(np.asarray(tokens), fpt, prompt_feat,
+                                            emb, session, finalize=True)}

@@ -139,3 +139,49 @@ def test_lm_training_loss(rng, tmp_path):
     assert 0.0 <= float(out["acc"]) <= 1.0
     # CE at init should be ~log(V)
     assert abs(float(out["loss"]) - np.log(S + 3)) < 1.0
+
+
+def test_lm_batched_greedy_matches_individual(rng, tmp_path):
+    """Padded-batch decode (different row lengths) == per-row B=1 decode."""
+    S = 20
+    cfg = LMConfig(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
+                   speech_token_size=S, qwen=TINY,
+                   sampling=SamplingConfig(method="greedy"))
+    model = Qwen2LM(cfg)
+    text = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 6)))
+    text_len = jnp.asarray([6, 4])
+    psp = jnp.asarray(rng.integers(0, S, (2, 5)))
+    psp_len = jnp.asarray([5, 2])
+    params = model.init(jax.random.PRNGKey(0), text, text_len, psp, psp_len)
+    out_b, cnt_b = lm_generate(model, params, text, text_len, psp, psp_len,
+                               jnp.asarray([0, 0]), jnp.asarray([12, 12]),
+                               jax.random.PRNGKey(0), max_steps=16, cache_len=64)
+    for i in range(2):
+        out_1, cnt_1 = lm_generate(
+            model, params, text[i:i + 1, :int(text_len[i])], text_len[i:i + 1],
+            psp[i:i + 1, :int(psp_len[i])], psp_len[i:i + 1],
+            jnp.asarray([0]), jnp.asarray([12]),
+            jax.random.PRNGKey(0), max_steps=16, cache_len=64)
+        assert int(cnt_1[0]) == int(cnt_b[i])
+        np.testing.assert_array_equal(np.asarray(out_1[0][:int(cnt_1[0])]),
+                                      np.asarray(out_b[i][:int(cnt_b[i])]))
+
+
+def test_lm_bf16_decode_runs(rng):
+    from cosyvoice_tpu.utils.dtype import to_bf16
+
+    S = 20
+    cfg = LMConfig(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
+                   speech_token_size=S, qwen=TINY,
+                   sampling=SamplingConfig(method="ras", top_k=5))
+    model = Qwen2LM(cfg)
+    text = jnp.asarray(rng.integers(0, TINY.vocab_size, (1, 6)))
+    params = model.init(jax.random.PRNGKey(0), text, jnp.asarray([6]),
+                        text, jnp.asarray([6]))
+    params16 = to_bf16(params)
+    out, cnt = lm_generate(model, params16, text, jnp.asarray([6]),
+                           jnp.asarray(rng.integers(0, S, (1, 4))), jnp.asarray([4]),
+                           jnp.asarray([4]), jnp.asarray([12]),
+                           jax.random.PRNGKey(0), max_steps=16, cache_len=64)
+    assert int(cnt[0]) >= 4
+    assert (np.asarray(out[0][:int(cnt[0])]) < S).all()

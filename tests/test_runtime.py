@@ -133,3 +133,94 @@ def test_textnorm():
     assert len(segs) > 1
     assert all("3" not in s for s in segs)
     assert "three" in segs[0]
+
+
+@pytest.fixture(scope="module")
+def tiny_v1_stack():
+    from cosyvoice_tpu.models.llm import TransformerLM, TransformerLMConfig
+    from cosyvoice_tpu.models.flow import (EstimatorConfig as Est,
+                                           FlowV1Config, MaskedDiffWithXvec)
+    from cosyvoice_tpu.runtime.model import CosyVoiceV1Model
+
+    te = ConformerConfig(dim=32, heads=4, linear_units=48, num_blocks=1,
+                         dropout_rate=0.0, attention_dropout_rate=0.0,
+                         input_size=24, static_chunk_size=1)
+    lm_body = ConformerConfig(dim=32, heads=4, linear_units=48, num_blocks=1,
+                              dropout_rate=0.0, attention_dropout_rate=0.0,
+                              input_size=32, static_chunk_size=1,
+                              input_layer="linear_legacy", activation="relu")
+    lm_cfg = TransformerLMConfig(
+        text_encoder_input_size=24, llm_input_size=32, llm_output_size=32,
+        text_token_size=40, speech_token_size=SPEECH_VOCAB, spk_embed_dim=24,
+        sampling=SamplingConfig(method="ras", top_k=5),
+        text_encoder=te, llm=lm_body)
+    enc = ConformerConfig(dim=48, heads=4, linear_units=48, num_blocks=1,
+                          dropout_rate=0.0, attention_dropout_rate=0.0,
+                          input_size=48)
+    est = Est(in_channels=4 * N_MEL, out_channels=N_MEL, causal=False,
+              channels=(16, 16), n_blocks=1, num_mid_blocks=1,
+              num_heads=2, attention_head_dim=8)
+    flow_cfg = FlowV1Config(input_size=48, output_size=N_MEL, spk_embed_dim=24,
+                            vocab_size=SPEECH_VOCAB, input_frame_rate=25,
+                            encoder=enc, estimator=est, regulator_stages=1)
+    hift_cfg = HiFTConfig(in_channels=N_MEL, base_channels=32, nb_harmonics=2,
+                          upsample_rates=(4, 3), upsample_kernel_sizes=(8, 7),
+                          resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+                          source_resblock_kernel_sizes=(5, 7),
+                          source_resblock_dilation_sizes=((1, 3), (1, 3)),
+                          f0_cond_channels=24, sampling_rate=6400)
+    llm = TransformerLM(lm_cfg)
+    flow = MaskedDiffWithXvec(flow_cfg)
+    hift = HiFTGenerator(hift_cfg)
+    k = jax.random.PRNGKey(0)
+    llm_params = llm.init(k, jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
+                          jnp.zeros((1, 3), jnp.int32), jnp.asarray([3]),
+                          jnp.zeros((1, 24)))
+    flow_params = flow.init(k, jnp.zeros((1, 8), jnp.int32), jnp.asarray([8]),
+                            jnp.zeros((1, 4, N_MEL)), jnp.zeros((1, 24)),
+                            jax.random.PRNGKey(1), prompt_token_len=4, mel_len2=4,
+                            method=MaskedDiffWithXvec.inference)
+    hift_params = hift.init({"params": k, "noise": k}, jnp.zeros((1, 10, N_MEL)))
+    # mel frames per token == 1 when sr=6400, fr=25, hop 256
+    return CosyVoiceV1Model(llm=llm, flow=flow, hift=hift, llm_params=llm_params,
+                            flow_params=flow_params, hift_params=hift_params,
+                            sample_rate=6400, max_decode_tokens=96)
+
+
+def test_v1_stream_chunks(tiny_v1_stack):
+    """Streaming machinery (flow_cache + mel overlap fade + hift caches)
+    driven over a synthetic 150-token stream."""
+    m = tiny_v1_stack
+    rngn = np.random.default_rng(0)
+    emb = np.ones(24, np.float32)
+    session = {"hift": None, "mel_overlap": None, "flow_cache": None}
+    tokens = list(rngn.integers(0, SPEECH_VOCAB, 150))
+    fpt = np.zeros(0, np.int32)
+    pf = np.zeros((0, N_MEL), np.float32)
+    outs, hop = [], m.token_min_hop_len
+    while len(tokens) >= hop + m.token_overlap_len:
+        chunk = np.asarray(tokens[: hop + m.token_overlap_len])
+        outs.append(m.token2wav(chunk, fpt, pf, emb, session, finalize=False))
+        tokens = tokens[hop:]
+        hop = min(m.token_max_hop_len, int(hop * m.stream_scale_factor))
+    outs.append(m.token2wav(np.asarray(tokens), fpt, pf, emb, session,
+                            finalize=True))
+    assert len(outs) >= 3
+    for o in outs:
+        assert np.isfinite(o).all()
+    assert session["flow_cache"][0].shape[1] > 0
+
+
+def test_v1_llm_tts_end_to_end(tiny_v1_stack):
+    """Full v1 tts through the LLM (token count is sampling-dependent)."""
+    m = tiny_v1_stack
+    text = np.arange(40, dtype=np.int32) % 38
+    emb = np.ones(24, np.float32)
+    outs = list(m.tts(text_tokens=text, prompt_text_len=0,
+                      llm_prompt_speech_token=np.zeros(0, np.int32),
+                      flow_prompt_speech_token=np.zeros(0, np.int32),
+                      prompt_speech_feat=np.zeros((0, N_MEL), np.float32),
+                      flow_embedding=emb, llm_embedding=emb,
+                      stream=False, rng=jax.random.PRNGKey(5)))
+    assert len(outs) == 1 and np.isfinite(outs[0]["tts_speech"]).all()
+    assert outs[0]["tts_speech"].shape[0] > 0
