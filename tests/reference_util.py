@@ -50,6 +50,12 @@ _permissive("torchaudio.transforms")
 _permissive("torchaudio.functional")
 _permissive("torchaudio.compliance")
 _permissive("torchaudio.compliance.kaldi")
+# wire submodule attributes on parents so `from torchaudio.compliance import
+# kaldi` resolves to the stub modules, not the parent's permissive __getattr__
+sys.modules["torchaudio"].transforms = sys.modules["torchaudio.transforms"]
+sys.modules["torchaudio"].functional = sys.modules["torchaudio.functional"]
+sys.modules["torchaudio"].compliance = sys.modules["torchaudio.compliance"]
+sys.modules["torchaudio.compliance"].kaldi = sys.modules["torchaudio.compliance.kaldi"]
 
 
 class _DictConfig(dict):
