@@ -109,11 +109,17 @@ def anti_alias_activation(x: jax.Array, alpha: jax.Array,
 
 
 class AAAct(nn.Module):
-    """Parameterized anti-aliased Snake/SnakeBeta activation layer."""
+    """Parameterized anti-aliased Snake/SnakeBeta activation layer.
+
+    use_pallas=True routes through the fused Pallas kernel
+    (ops/pallas/snake_aa.py — the TPU twin of the reference CUDA kernel);
+    default is the XLA composite path.
+    """
 
     channels: int
     activation: str = "snakebeta"
     logscale: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -121,6 +127,10 @@ class AAAct(nn.Module):
         alpha = self.param("alpha", init, (self.channels,))
         beta = (self.param("beta", init, (self.channels,))
                 if self.activation == "snakebeta" else None)
+        if self.use_pallas:
+            from cosyvoice_tpu.ops.pallas.snake_aa import snake_aa_pallas
+
+            return snake_aa_pallas(x, alpha, beta, self.logscale)
         return anti_alias_activation(x, alpha, beta, self.logscale)
 
 
@@ -132,17 +142,18 @@ class AMPBlock1(nn.Module):
     dilations: Sequence[int] = (1, 3, 5)
     activation: str = "snakebeta"
     logscale: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i, d in enumerate(self.dilations):
             xt = AAAct(self.channels, self.activation, self.logscale,
-                       name=f"act_{2 * i}")(x)
+                       self.use_pallas, name=f"act_{2 * i}")(x)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
                         padding=_get_padding(self.kernel_size, d),
                         weight_norm=True, name=f"convs1_{i}")(xt)
             xt = AAAct(self.channels, self.activation, self.logscale,
-                       name=f"act_{2 * i + 1}")(xt)
+                       self.use_pallas, name=f"act_{2 * i + 1}")(xt)
             xt = Conv1d(self.channels, self.kernel_size,
                         padding=_get_padding(self.kernel_size, 1),
                         weight_norm=True, name=f"convs2_{i}")(xt)
@@ -158,12 +169,13 @@ class AMPBlock2(nn.Module):
     dilations: Sequence[int] = (1, 3, 5)
     activation: str = "snakebeta"
     logscale: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i, d in enumerate(self.dilations):
             xt = AAAct(self.channels, self.activation, self.logscale,
-                       name=f"act_{i}")(x)
+                       self.use_pallas, name=f"act_{i}")(x)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
                         padding=_get_padding(self.kernel_size, d),
                         weight_norm=True, name=f"convs1_{i}")(xt)
@@ -189,6 +201,7 @@ class BigVGANConfig:
     snake_logscale: bool = True
     encoder1: Optional[ConformerConfig] = None  # optional 2x conformer upsamplers
     encoder2: Optional[ConformerConfig] = None
+    use_pallas_act: bool = False  # fused Pallas anti-alias snake kernel
 
 
 class BigVGAN(nn.Module):
@@ -235,9 +248,11 @@ class BigVGAN(nn.Module):
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                              cfg.resblock_dilation_sizes)):
                 xs = xs + block_cls(ch, rk, rd, cfg.activation, cfg.snake_logscale,
+                                    cfg.use_pallas_act,
                                     name=f"resblocks_{i}_{j}")(x)
             x = xs / nk
-        x = AAAct(ch, cfg.activation, cfg.snake_logscale, name="activation_post")(x)
+        x = AAAct(ch, cfg.activation, cfg.snake_logscale, cfg.use_pallas_act,
+                  name="activation_post")(x)
         x = Conv1d(1, 7, padding=3, weight_norm=True, name="conv_post")(x)
         return jnp.tanh(x[..., 0]), mel_feat
 

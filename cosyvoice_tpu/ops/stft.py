@@ -58,17 +58,19 @@ def _idft_mats(n_fft: int):
 def frame_signal(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
     """[..., S] -> [..., T, n_fft] frames x[.., t*hop : t*hop+n_fft].
 
-    Requires hop | n_fft: frames are built from a [..., S//hop, hop] reshape
-    plus r static slices — no gather, layout-friendly.
+    When hop | n_fft, frames come from a [..., S//hop, hop] reshape plus
+    static slices (no gather, layout-friendly); otherwise a gather fallback.
     """
-    assert n_fft % hop == 0, "frame_signal requires hop | n_fft"
-    r = n_fft // hop
     S = x.shape[-1]
     T = (S - n_fft) // hop + 1
-    n_chunks = S // hop
-    xc = x[..., : n_chunks * hop].reshape(*x.shape[:-1], n_chunks, hop)
-    parts = [xc[..., j : j + T, :] for j in range(r)]
-    return jnp.concatenate(parts, axis=-1)
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        n_chunks = S // hop
+        xc = x[..., : n_chunks * hop].reshape(*x.shape[:-1], n_chunks, hop)
+        parts = [xc[..., j : j + T, :] for j in range(r)]
+        return jnp.concatenate(parts, axis=-1)
+    idx = jnp.arange(T)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return x[..., idx]
 
 
 def overlap_add(frames: jax.Array, hop: int) -> jax.Array:

@@ -97,6 +97,9 @@ def _install_diffusers_stub():
     _stub("diffusers.utils.torch_utils", maybe_allow_in_graph=stub.maybe_allow_in_graph)
     _stub("conformer", ConformerBlock=stub.ConformerBlock)
     _permissive("onnxruntime")
+    _permissive("librosa")
+    _permissive("librosa.filters")
+    sys.modules["librosa"].filters = sys.modules["librosa.filters"]
 
 
 _install_diffusers_stub()
