@@ -52,6 +52,8 @@ def _registry():
                                                   Qwen2LMPhonemeSrc,
                                                   Qwen2LMPhonemeSrc2)
     from cosyvoice_tpu.models.qwen2 import Qwen2Config
+    from cosyvoice_tpu.models.llm_v1_phoneme import (TransformerLMPhoneme,
+                                                     V1PhonemeLMConfig)
     from cosyvoice_tpu.models.s3tokenizer import S3Config, S3TokenizerV2
     from cosyvoice_tpu.models.speaker import (SpeakerEmbedding,
                                               SpeakerEmbeddingConfig)
@@ -60,6 +62,7 @@ def _registry():
     models = {
         "qwen2lm": (Qwen2LM, LMConfig),
         "transformer_lm": (TransformerLM, TransformerLMConfig),
+        "transformer_lm_phoneme": (TransformerLMPhoneme, V1PhonemeLMConfig),
         "qwen2lm_phoneme": (Qwen2LMPhoneme, PhonemeLMConfig),
         "qwen2lm_phoneme_src": (Qwen2LMPhonemeSrc, PhonemeLMConfig),
         "qwen2lm_phoneme_src2": (Qwen2LMPhonemeSrc2, PhonemeLMConfig),
@@ -79,6 +82,10 @@ def _registry():
         ("TransformerLMConfig", "sampling"): SamplingConfig,
         ("TransformerLMConfig", "text_encoder"): ConformerConfig,
         ("TransformerLMConfig", "llm"): ConformerConfig,
+        ("V1PhonemeLMConfig", "sampling"): SamplingConfig,
+        ("V1PhonemeLMConfig", "text_encoder"): ConformerConfig,
+        ("V1PhonemeLMConfig", "llm"): ConformerConfig,
+        ("V1PhonemeLMConfig", "phoneme"): PhonemeEmbedConfig,
         ("PhonemeLMConfig", "sampling"): SamplingConfig,
         ("PhonemeLMConfig", "phoneme"): PhonemeEmbedConfig,
         ("PhonemeLMConfig", "encoder"): ConformerConfig,

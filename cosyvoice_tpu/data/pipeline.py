@@ -239,3 +239,96 @@ def padding(use_spk_embedding=False, gan=False, bucket_multiple=32):
             yield batch
 
     return stage
+
+
+# ---- alternative dataset sources (reference dataset_* variants) -----------
+
+def kaldi_dir_source(data_dir: str):
+    """wav.scp/text/utt2spk directory source
+    (reference `dataset_kaldidata.py:155-246`)."""
+    import os
+
+    def read_map(name):
+        path = os.path.join(data_dir, name)
+        if not os.path.exists(path):
+            return {}
+        out = {}
+        for line in open(path):
+            parts = line.strip().split(maxsplit=1)
+            if len(parts) == 2:
+                out[parts[0]] = parts[1]
+        return out
+
+    wavs = read_map("wav.scp")
+    texts = read_map("text")
+    utt2spk = read_map("utt2spk")
+    from cosyvoice_tpu.bin.inference import read_wav
+
+    for utt, path in wavs.items():
+        wav, sr = read_wav(path)
+        yield {"utt": utt, "speech": wav, "sample_rate": sr,
+               "text": texts.get(utt, ""), "spk": utt2spk.get(utt, utt)}
+
+
+def spk_json_source(json_paths: list, rng_seed: int = 0,
+                    rich_sample_short_utt: bool = False):
+    """Speaker-keyed JSON source (reference `dataset_jsondata.py:29-332`):
+    each file maps spk -> list of {utt, wav, duration, text|phoneme, ...};
+    weighted list entries [path, en_flag, weight] are expanded upstream."""
+    import json as _json
+    import random as _random
+
+    r = _random.Random(rng_seed)
+    from cosyvoice_tpu.bin.inference import read_wav
+
+    for path in json_paths:
+        with open(path) as f:
+            data = _json.load(f)
+        items = []
+        for spk, utts in data.items():
+            for u in utts:
+                items.append((spk, u))
+        r.shuffle(items)
+        for spk, u in items:
+            wav, sr = read_wav(u["wav"])
+            sample = {"utt": u.get("utt", u["wav"]), "speech": wav,
+                      "sample_rate": sr, "spk": spk,
+                      "text": u.get("text", "")}
+            if "phoneme" in u:
+                sample["phoneme"] = u["phoneme"]
+            if "durations" in u:
+                sample["durations"] = u["durations"]
+            yield sample
+            if rich_sample_short_utt and len(wav) / sr < 2.0:
+                yield dict(sample)  # oversample short utterances
+
+
+def truncate(max_seconds: float = 30.0):
+    """Random-crop long audio (processor.py:139-158)."""
+    import random as _random
+
+    def stage(it):
+        for s in it:
+            limit = int(max_seconds * s["sample_rate"])
+            if len(s["speech"]) > limit:
+                start = _random.randint(0, len(s["speech"]) - limit)
+                s["speech"] = s["speech"][start: start + limit]
+            yield s
+
+    return stage
+
+
+def compute_f0(sr=24000, frame=1024, hop=480):
+    """Pitch targets interpolated to mel length (processor.py:182-200)."""
+
+    def stage(it):
+        from cosyvoice_tpu.ops.f0 import autocorr_f0, interp_to_len
+        import jax.numpy as jnp
+
+        for s in it:
+            f0 = autocorr_f0(jnp.asarray(s["speech"]), sr=sr, frame=frame, hop=hop)
+            s["pitch_feat"] = np.asarray(
+                interp_to_len(f0, s["speech_feat"].shape[0]), np.float32)
+            yield s
+
+    return stage

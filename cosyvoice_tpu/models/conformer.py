@@ -209,6 +209,8 @@ class ConformerConfig:
     activation: str = "swish"
     static_chunk_size: int = 0
     input_layer: str = "linear"  # linear | linear_legacy
+    spk_adapt: bool = False      # per-layer speaker injection (encoder.py:478)
+    spk_emb_size: int = 512
 
 
 class ConformerEncoderLayer(nn.Module):
@@ -216,8 +218,12 @@ class ConformerEncoderLayer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.norm_mha = nn.LayerNorm(epsilon=1e-12)
-        self.norm_ff = nn.LayerNorm(epsilon=1e-12)
+        # SpkAdapt layers use eps 1e-5 norms (encoder_layer.py:278-281)
+        eps = 1e-5 if cfg.spk_adapt else 1e-12
+        if cfg.spk_adapt:
+            self.spk_linear = nn.Dense(cfg.dim)
+        self.norm_mha = nn.LayerNorm(epsilon=eps)
+        self.norm_ff = nn.LayerNorm(epsilon=eps)
         self.self_attn = RelPositionAttention(cfg.heads, cfg.dim, cfg.key_bias,
                                               cfg.attention_dropout_rate)
         self.ff = PositionwiseFeedForward(cfg.linear_units, cfg.dim,
@@ -235,10 +241,14 @@ class ConformerEncoderLayer(nn.Module):
 
     def __call__(self, x: jax.Array, pos_emb: jax.Array,
                  attn_mask: Optional[jax.Array], pad_mask: Optional[jax.Array],
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 spk_emb: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.cfg
         drop = lambda y: (nn.Dropout(cfg.dropout_rate, deterministic=False)(y)
                           if cfg.dropout_rate > 0.0 and not deterministic else y)
+        if cfg.spk_adapt and spk_emb is not None:
+            # speaker adaptation at layer entry (encoder_layer.py:325-327)
+            x = x + self.spk_linear(spk_emb)[:, None, :]
         ff_scale = 0.5 if cfg.macaron_style else 1.0
         if cfg.macaron_style:
             h = self.norm_ff_macaron(x)
@@ -308,7 +318,8 @@ class ConformerEncoder(nn.Module):
 
     def __call__(self, xs: jax.Array, lens: jax.Array,
                  chunk_size: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> tuple[jax.Array, jax.Array]:
+                 deterministic: bool = True,
+                 spk_emb: Optional[jax.Array] = None) -> tuple[jax.Array, jax.Array]:
         cfg = self.cfg
         T = xs.shape[1]
         pad = make_non_pad_mask(lens, T)
@@ -316,7 +327,7 @@ class ConformerEncoder(nn.Module):
         pos_emb = espnet_rel_pos_emb(T, cfg.dim, xs.dtype)
         attn_mask = add_chunk_mask(pad, cfg.static_chunk_size, chunk_size)
         for layer in self.layers:
-            xs = layer(xs, pos_emb, attn_mask, pad, deterministic)
+            xs = layer(xs, pos_emb, attn_mask, pad, deterministic, spk_emb)
         xs = self.after_norm(xs)
         return xs, pad
 

@@ -189,3 +189,54 @@ def mel_l1_loss(real: jax.Array, gen: jax.Array, mel_transforms) -> jax.Array:
     for tf in mel_transforms:
         loss += jnp.mean(jnp.abs(tf(gen) - tf(real)))
     return loss
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator (discriminator.py:320-348); spectral-norm variant
+    approximated with plain weight-norm (training-dynamics difference only)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, list[jax.Array]]:
+        from cosyvoice_tpu.nn.conv import Conv1d
+
+        h = x[..., None]  # [B, T, 1]
+        fmap = []
+        specs = [(128, 15, 1, 7, 1), (128, 41, 2, 20, 4), (256, 41, 2, 20, 16),
+                 (512, 41, 4, 20, 16), (1024, 41, 4, 20, 16),
+                 (1024, 41, 1, 20, 16), (1024, 5, 1, 2, 1)]
+        for i, (ch, k, s, p, g) in enumerate(specs):
+            h = Conv1d(ch, k, stride=s, padding=p, groups=g, weight_norm=True,
+                       name=f"convs_{i}")(h)
+            h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h)
+        h = Conv1d(1, 3, padding=1, weight_norm=True, name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+def _avg_pool_421(x: jax.Array) -> jax.Array:
+    """torch AvgPool1d(4, 2, padding=2) with count_include_pad=True."""
+    xp = jnp.pad(x, ((0, 0), (2, 2)))
+    T = (xp.shape[1] - 4) // 2 + 1
+    idx = jnp.arange(T)[:, None] * 2 + jnp.arange(4)[None, :]
+    return xp[:, idx].mean(axis=-1)
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """3 scale discriminators with 2x mean-pooling (discriminator.py:350-379)."""
+
+    @nn.compact
+    def __call__(self, y: jax.Array, y_hat: jax.Array):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = _avg_pool_421(y)
+                y_hat = _avg_pool_421(y_hat)
+            d = DiscriminatorS(name=f"discriminators_{i}")
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            y_d_gs.append(g)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs

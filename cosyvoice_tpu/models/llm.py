@@ -582,3 +582,113 @@ def import_transformer_lm_torch(state_dict, cfg: TransformerLMConfig) -> dict:
         "speech_embedding": {"embedding": jnp.asarray(sd["speech_embedding.weight"])},
         "spk_embed_affine_layer": _dense(sd, "spk_embed_affine_layer"),
     }}
+
+
+# --------------------------------------------------------------------------
+# incremental (chunked) generation — the streaming producer
+# --------------------------------------------------------------------------
+
+class StreamState(NamedTuple):
+    """Carry for chunked decode: GenState + per-row prefix lengths."""
+
+    gen: GenState
+    seq_len: jax.Array      # [B] prefix lengths
+    min_len: jax.Array
+    max_len: jax.Array
+
+
+def _decode_machinery(model, params, seq_len, Tp, cache_len, max_steps):
+    """Shared sample/advance closures (same math as lm_generate_from_embeds)."""
+    cfg = model.cfg
+    eos = cfg.eos_token
+    cls = type(model)
+    win = cfg.sampling.win_size
+
+    def sample_from(hidden_last, state, min_len):
+        logits = model.apply(params, hidden_last, method=cls.decode_logits)
+        logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
+        suppress = state.step < min_len
+        logp = jnp.where(suppress[:, None] & (jnp.arange(logp.shape[-1])[None] == eos),
+                         NEG_INF, logp)
+        rng, k = jax.random.split(state.rng)
+        rv = jnp.arange(win)[None] < state.recent_n[:, None]
+        tok = _sample(cfg.sampling, k, logp, state.recent, rv)
+        return tok, rng
+
+    def advance(state, tok, rng, max_len):
+        emitted = (tok < eos) & ~state.done
+        done = state.done | (tok == eos) | (state.step + 1 >= max_len)
+        out = jax.vmap(lambda o, c, t, e: jnp.where(e, o.at[c].set(t), o))(
+            state.out, state.count, tok, emitted)
+        recent = jax.vmap(lambda r, t, e: jnp.where(e, jnp.roll(r, -1).at[-1].set(t), r))(
+            state.recent, tok, emitted)
+        recent_n = jnp.minimum(state.recent_n + emitted, win)
+        new_emb = model.apply(params, tok[:, None], method=cls.speech_emb)
+        prev_emb = jnp.where(emitted[:, None, None], new_emb, state.prev_emb)
+        return state._replace(prev_emb=prev_emb, step=state.step + 1,
+                              count=state.count + emitted, done=done, out=out,
+                              recent=recent, recent_n=recent_n, rng=rng)
+
+    def body(state, min_len, max_len):
+        pos = (seq_len + state.step - 1)[:, None]
+        slot = jnp.arange(cache_len)[None, None, None, :]
+        valid = (slot < seq_len[:, None, None, None]) | \
+                ((slot >= Tp) & (slot <= state.cache.pos))
+        bias = jnp.where(valid, 0.0, NEG_INF).astype(state.prev_emb.dtype)
+        hidden, cache = model.apply(params, state.prev_emb, pos, bias,
+                                    state.cache, method=cls.forward_hidden)
+        tok, rng = sample_from(hidden, state, min_len)
+        return advance(state._replace(cache=cache, rng=rng), tok, rng, max_len)
+
+    return sample_from, advance, body
+
+
+@partial(jax.jit, static_argnames=("model", "max_steps", "cache_len"))
+def lm_prefill_stream(model, params, text, text_len, prompt_speech,
+                      prompt_speech_len, min_len, max_len, rng,
+                      max_steps: int, cache_len: int) -> StreamState:
+    """Prefill + first sample; returns a StreamState for lm_decode_chunk."""
+    cfg = model.cfg
+    cls = type(model)
+    B = text.shape[0]
+    embeds, seq_len = model.apply(params, text, text_len, prompt_speech,
+                                  prompt_speech_len, method=cls.prefill_embeds)
+    Tp = embeds.shape[1]
+    cache = KVCache.create(cfg.qwen, B, cache_len, dtype=embeds.dtype)
+    bias = causal_prefill_bias(Tp, cache_len, seq_len, B, embeds.dtype)
+    positions = jnp.broadcast_to(jnp.arange(Tp)[None], (B, Tp))
+    hidden, cache = model.apply(params, embeds, positions, bias, cache,
+                                method=cls.forward_hidden)
+    last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
+    win = cfg.sampling.win_size
+    gen = GenState(cache=cache,
+                   prev_emb=jnp.zeros((B, 1, embeds.shape[-1]), embeds.dtype),
+                   step=jnp.zeros((), jnp.int32),
+                   count=jnp.zeros((B,), jnp.int32),
+                   done=jnp.zeros((B,), bool),
+                   out=jnp.zeros((B, max_steps), jnp.int32),
+                   recent=jnp.zeros((B, win), jnp.int32),
+                   recent_n=jnp.zeros((B,), jnp.int32), rng=rng)
+    sample_from, advance, _ = _decode_machinery(model, params, seq_len, Tp,
+                                                cache_len, max_steps)
+    tok0, rng0 = sample_from(last, gen, min_len)
+    gen = advance(gen, tok0, rng0, max_len)
+    return StreamState(gen, seq_len, min_len, max_len)
+
+
+@partial(jax.jit, static_argnames=("model", "n_steps", "prefix_len",
+                                   "cache_len", "max_steps"))
+def lm_decode_chunk(model, params, state: StreamState, n_steps: int,
+                    prefix_len: int, cache_len: int, max_steps: int) -> StreamState:
+    """Advance the decode by up to n_steps (stops early on EOS/max_len)."""
+    _, _, body = _decode_machinery(model, params, state.seq_len, prefix_len,
+                                   cache_len, max_steps)
+    start = state.gen.step
+
+    def cond(gen):
+        return (~jnp.all(gen.done)) & (gen.step < max_steps) & \
+               (gen.step - start < n_steps)
+
+    gen = jax.lax.while_loop(
+        cond, lambda g: body(g, state.min_len, state.max_len), state.gen)
+    return state._replace(gen=gen)

@@ -283,3 +283,35 @@ def import_speaker_embedding_torch(state_dict, cfg: SpeakerEmbeddingConfig) -> d
             "kernel": jnp.asarray(sd["speaker_adapter.style_fuser.weight"]).T}
     return {"params": params,
             "batch_stats": {"speaker_encoder": camp["batch_stats"]}}
+
+
+class SpeakerEmbeddingWoPostEnc(nn.Module):
+    """Variant without the posterior encoder (speaker_encoder.py:273+):
+    the style encoder consumes the linear spectrum directly."""
+
+    cfg: SpeakerEmbeddingConfig = field(default_factory=SpeakerEmbeddingConfig)
+
+    def setup(self):
+        cfg = self.cfg
+        self.speaker_encoder = CAMPPlus(cfg.campplus)
+        self.style_encoder = StyleEncoderV2(cfg.style_hidden,
+                                            cfg.speaker_emb_dim,
+                                            cfg.style_kernel, cfg.style_heads,
+                                            cfg.style_layers)
+        self.gst = GlobalStyleTokensV2(cfg.gst_tokens, cfg.speaker_emb_dim,
+                                       cfg.gst_heads, cfg.gst_layers)
+        if cfg.speaker_emb_dim != cfg.campplus.embedding_size:
+            self.speaker_adapter = nn.Dense(cfg.speaker_emb_dim, use_bias=False)
+        else:
+            self.speaker_adapter = None
+
+    def __call__(self, fbank, spec, spec_len, rng=None):
+        timbre = self.speaker_encoder(fbank)
+        mask = make_non_pad_mask(spec_len, spec.shape[1])
+        style = self.style_encoder(spec, mask)
+        style = self.gst(style)
+        if self.speaker_adapter is not None:
+            g = style[:, 0] + self.speaker_adapter(timbre)
+        else:
+            g = timbre + style[:, 0]
+        return g

@@ -41,3 +41,24 @@ def focal_loss(logits: jax.Array, target: jax.Array, gamma: float = 1.0,
     if mask is not None:
         return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), 1)
     return jnp.mean(loss)
+
+
+def vicreg_loss(x: jax.Array, y: jax.Array, sim_coeff: float = 0.5,
+                std_coeff: float = 0.4, cov_coeff: float = 0.1) -> jax.Array:
+    """VICReg self-supervised loss (reference llm_with_spk.py:24-66):
+    invariance MSE + variance hinge + off-diagonal covariance penalty; used
+    when co-training the speaker embedding with the LM."""
+    B, D = x.shape
+    repr_loss = jnp.mean((x - y) ** 2)
+    xc = x - x.mean(axis=0)
+    yc = y - y.mean(axis=0)
+    std_x = jnp.sqrt(xc.var(axis=0, ddof=1) + 1e-4)
+    std_y = jnp.sqrt(yc.var(axis=0, ddof=1) + 1e-4)
+    std_loss = (jnp.mean(jax.nn.relu(1 - std_x)) / 2
+                + jnp.mean(jax.nn.relu(1 - std_y)) / 2)
+    cov_x = (xc.T @ xc) / (B - 1)
+    cov_y = (yc.T @ yc) / (B - 1)
+    off = 1.0 - jnp.eye(D)
+    cov_loss = (jnp.sum((cov_x * off) ** 2) / D
+                + jnp.sum((cov_y * off) ** 2) / D)
+    return sim_coeff * repr_loss + std_coeff * std_loss + cov_coeff * cov_loss

@@ -151,5 +151,104 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         hift_params=import_hift_torch(hift_sd, hift_cfg),
         max_decode_tokens=max_decode_tokens)
     tok = QwenTokenizer(tokenizer_path or os.path.join(model_dir, "CosyVoice-BlankEN"))
-    frontend = CosyVoiceFrontEnd(tokenizer=tok)
+    spk2info = {}
+    spk2info_path = os.path.join(model_dir, "spk2info.pt")
+    if os.path.exists(spk2info_path):  # sft speaker table (frontend.py:56)
+        raw = torch.load(spk2info_path, map_location="cpu", weights_only=False)
+        spk2info = {k: {"embedding": np.asarray(v["embedding"]).reshape(-1)}
+                    for k, v in raw.items()}
+    frontend = CosyVoiceFrontEnd(tokenizer=tok, spk2info=spk2info)
     return CosyVoice2(frontend=frontend, model=model)
+
+
+@dataclass
+class CosyVoice:
+    """v1 user API (reference cli/cosyvoice.py:24-126): sft / zero-shot /
+    cross-lingual / instruct / vc over the v1 streaming engine."""
+
+    frontend: CosyVoiceFrontEnd
+    model: object  # runtime.model.CosyVoiceV1Model
+    sample_rate: int = 22050
+
+    def list_available_spks(self):
+        return list(self.frontend.spk2info.keys())
+
+    def _run(self, mi: dict, stream: bool, speed: float, rng=None):
+        text = mi["text"]
+        ptext = mi.get("prompt_text", np.zeros(0, np.int32))
+        start = time.time()
+        for out in self.model.tts(
+                text_tokens=np.concatenate([ptext, text]).astype(np.int32),
+                prompt_text_len=len(ptext),
+                llm_prompt_speech_token=mi.get("llm_prompt_speech_token",
+                                               np.zeros(0, np.int32)),
+                flow_prompt_speech_token=mi.get("flow_prompt_speech_token",
+                                                np.zeros(0, np.int32)),
+                prompt_speech_feat=mi.get("prompt_speech_feat",
+                                          np.zeros((0, 80), np.float32)),
+                flow_embedding=mi["flow_embedding"],
+                llm_embedding=mi.get("llm_embedding"),
+                stream=stream, speed=speed, rng=rng):
+            dur = len(out["tts_speech"]) / self.sample_rate
+            logger.info("yield speech len %.2f, rtf %f", dur,
+                        (time.time() - start) / max(dur, 1e-6))
+            yield out
+            start = time.time()
+
+    def inference_sft(self, tts_text, spk_id, stream=False, speed=1.0,
+                      text_frontend=True, rng=None):
+        for seg in (self.frontend.text_normalize(tts_text) if text_frontend
+                    else [tts_text]):
+            yield from self._run(self.frontend.frontend_sft(seg, spk_id),
+                                 stream, speed, rng)
+
+    def inference_zero_shot(self, tts_text, prompt_text, prompt_speech_16k,
+                            stream=False, speed=1.0, text_frontend=True, rng=None):
+        ptxt = (self.frontend.text_normalize(prompt_text, split=False)
+                if text_frontend else prompt_text)
+        for seg in (self.frontend.text_normalize(tts_text) if text_frontend
+                    else [tts_text]):
+            yield from self._run(
+                self.frontend.frontend_zero_shot(seg, ptxt, prompt_speech_16k),
+                stream, speed, rng)
+
+    def inference_cross_lingual(self, tts_text, prompt_speech_16k, stream=False,
+                                speed=1.0, text_frontend=True, rng=None):
+        for seg in (self.frontend.text_normalize(tts_text) if text_frontend
+                    else [tts_text]):
+            yield from self._run(
+                self.frontend.frontend_cross_lingual(seg, prompt_speech_16k),
+                stream, speed, rng)
+
+    def inference_instruct(self, tts_text, spk_id, instruct_text, stream=False,
+                           speed=1.0, text_frontend=True, rng=None):
+        for seg in (self.frontend.text_normalize(tts_text) if text_frontend
+                    else [tts_text]):
+            yield from self._run(
+                self.frontend.frontend_instruct(seg, spk_id, instruct_text),
+                stream, speed, rng)
+
+    def inference_vc(self, source_speech_16k, prompt_speech_16k, stream=False,
+                     speed=1.0, rng=None):
+        mi = self.frontend.frontend_vc(source_speech_16k, prompt_speech_16k)
+        session = {"hift": None, "mel_overlap": None, "flow_cache": None}
+        tokens = list(mi["source_speech_token"])
+        if not stream:
+            yield {"tts_speech": self.model.token2wav(
+                np.asarray(tokens), mi["flow_prompt_speech_token"],
+                mi["prompt_speech_feat"], mi["flow_embedding"], session,
+                finalize=True, speed=speed)}
+            return
+        hop = self.model.token_min_hop_len
+        while len(tokens) >= hop + self.model.token_overlap_len:
+            chunk = np.asarray(tokens[: hop + self.model.token_overlap_len])
+            yield {"tts_speech": self.model.token2wav(
+                chunk, mi["flow_prompt_speech_token"], mi["prompt_speech_feat"],
+                mi["flow_embedding"], session, finalize=False)}
+            tokens = tokens[hop:]
+            hop = min(self.model.token_max_hop_len,
+                      int(hop * self.model.stream_scale_factor))
+        yield {"tts_speech": self.model.token2wav(
+            np.asarray(tokens), mi["flow_prompt_speech_token"],
+            mi["prompt_speech_feat"], mi["flow_embedding"], session,
+            finalize=True)}

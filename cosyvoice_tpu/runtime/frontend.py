@@ -103,6 +103,15 @@ class CosyVoiceFrontEnd:
         d.pop("llm_prompt_speech_token")
         return d
 
+    def frontend_instruct(self, tts_text: str, spk_id: str,
+                          instruct_text: str) -> dict:
+        """v1 instruct mode (frontend.py:171-178): sft inputs minus the llm
+        spk embedding (information leakage), instruct text as prompt."""
+        d = self.frontend_sft(tts_text, spk_id)
+        d.pop("llm_embedding")
+        d["prompt_text"] = self._extract_text_token(instruct_text + "<endofprompt>")
+        return d
+
     def frontend_vc(self, source_speech_16k: np.ndarray,
                     prompt_speech_16k: np.ndarray) -> dict:
         ptoken = self._extract_speech_token(prompt_speech_16k)

@@ -202,24 +202,50 @@ class CosyVoice2Model:
         """
         rng = rng if rng is not None else jax.random.PRNGKey(int(time.time_ns() % (1 << 31)))
         session: dict = {"hift": None}
-        tokens = self.llm_generate(text_tokens, prompt_text_len,
-                                   llm_prompt_speech_token, rng)
         prompt_feat = np.asarray(prompt_speech_feat, np.float32)
         emb = np.asarray(flow_embedding, np.float32)
         fpt = np.asarray(flow_prompt_speech_token, np.int32)
         if not stream:
+            tokens = self.llm_generate(text_tokens, prompt_text_len,
+                                       llm_prompt_speech_token, rng)
             wav = self.token2wav(tokens, fpt, prompt_feat, emb, 0, session,
                                  finalize=True, speed=speed)
             yield {"tts_speech": wav}
             return
+        # streaming: interleave chunked LLM decode with flow/vocoder chunks —
+        # the reference's producer-thread/consumer-poll pair (cli/model.py:
+        # 177-238) as host-driven jitted chunk programs
+        from cosyvoice_tpu.models.llm import lm_decode_chunk, lm_prefill_stream
+
+        text = jnp.asarray(text_tokens)[None]
+        psp = jnp.asarray(llm_prompt_speech_token)[None].astype(jnp.int32)
+        new_text = text.shape[1] - prompt_text_len
+        cap = self.max_decode_tokens
+        cache_len = round_up(2 + text.shape[1] + psp.shape[1] + cap, 128)
+        state = lm_prefill_stream(
+            self.llm, self.llm_params, text, jnp.asarray([text.shape[1]]),
+            psp, jnp.asarray([psp.shape[1]]),
+            jnp.asarray([int(new_text * self.llm.cfg.min_token_text_ratio)]),
+            jnp.asarray([min(int(new_text * self.llm.cfg.max_token_text_ratio), cap)]),
+            rng, max_steps=cap, cache_len=cache_len)
+        prefix_len = 2 + text.shape[1] + psp.shape[1]
         token_offset = 0
         hop, la = self.token_hop_len, self.pre_lookahead_len
-        while len(tokens) - token_offset >= hop + la:
-            wav = self.token2wav(tokens[: token_offset + hop + la], fpt,
-                                 prompt_feat, emb, token_offset, session,
-                                 finalize=False)
-            token_offset += hop
-            yield {"tts_speech": wav}
+        while True:
+            state = lm_decode_chunk(self.llm, self.llm_params, state,
+                                    n_steps=hop, prefix_len=prefix_len,
+                                    cache_len=cache_len, max_steps=cap)
+            count = int(state.gen.count[0])
+            done = bool(state.gen.done[0])
+            tokens = np.asarray(state.gen.out[0][:count])
+            while count - token_offset >= hop + la:
+                wav = self.token2wav(tokens[: token_offset + hop + la], fpt,
+                                     prompt_feat, emb, token_offset, session,
+                                     finalize=False)
+                token_offset += hop
+                yield {"tts_speech": wav}
+            if done:
+                break
         wav = self.token2wav(tokens, fpt, prompt_feat, emb, token_offset,
                              session, finalize=True)
         yield {"tts_speech": wav}

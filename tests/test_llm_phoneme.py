@@ -93,6 +93,7 @@ def _pho_tokens(rng, n):
 
 
 def test_src2_greedy_decode_parity(rng, tmp_path):
+    rng = np.random.default_rng(12345)  # pinned: greedy parity needs fixed inputs
     ref = _ref_src2(tmp_path)
     text = rng.integers(0, TINY_Q.vocab_size, (1, 6)).astype(np.int64)
     pho = _pho_tokens(rng, 7)[None]

@@ -83,3 +83,15 @@ def test_multicode_lm_train_and_decode(rng):
     if n >= 3:
         reverted = np.asarray(revert_delay_pattern(jnp.asarray(dcodes[:, 1:n + 1])))
         assert reverted.shape[1] == n - 2
+
+
+def test_vicreg_matches_reference(rng):
+    import torch
+    from cosyvoice.llm.llm_with_spk import VICReg
+    from cosyvoice_tpu.ops.delay import vicreg_loss
+
+    x = rng.standard_normal((6, 8)).astype(np.float32)
+    y = rng.standard_normal((6, 8)).astype(np.float32)
+    ref = VICReg()(torch.from_numpy(x), torch.from_numpy(y)).item()
+    ours = float(vicreg_loss(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)

@@ -107,3 +107,17 @@ def test_ras_sampling_runs():
     # no repetition -> nucleus keeps the dominant token
     tok2 = jsamp.ras_sample(key, logits, jnp.full((10,), 3), valid)
     assert int(tok2) == 17
+
+
+def test_autocorr_f0_tracks_tone():
+    from cosyvoice_tpu.ops.f0 import autocorr_f0, interp_to_len
+
+    sr = 24000
+    t = np.arange(sr) / sr
+    wav = jnp.asarray((0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32))
+    f0 = np.asarray(autocorr_f0(wav, sr=sr))
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 10
+    assert abs(np.median(voiced) - 220.0) < 15.0
+    out = np.asarray(interp_to_len(jnp.asarray(f0), 100))
+    assert out.shape == (100,)

@@ -224,3 +224,45 @@ def test_v1_llm_tts_end_to_end(tiny_v1_stack):
                       stream=False, rng=jax.random.PRNGKey(5)))
     assert len(outs) == 1 and np.isfinite(outs[0]["tts_speech"]).all()
     assert outs[0]["tts_speech"].shape[0] > 0
+
+
+def test_batched_synthesizer(tiny_stack):
+    from cosyvoice_tpu.runtime.serving import BatchedSynthesizer, TTSRequest
+
+    rng = np.random.default_rng(0)
+    reqs = [TTSRequest(text_tokens=np.arange(20, dtype=np.int32) % 250,
+                       prompt_text_len=0,
+                       prompt_speech_tokens=rng.integers(0, SPEECH_VOCAB, 5).astype(np.int32),
+                       prompt_feat=(rng.standard_normal((10, N_MEL)) * 0.3).astype(np.float32),
+                       embedding=np.ones(24, np.float32)),
+            TTSRequest(text_tokens=np.arange(14, dtype=np.int32) % 250,
+                       prompt_text_len=2,
+                       prompt_speech_tokens=np.zeros(0, np.int32),
+                       prompt_feat=np.zeros((0, N_MEL), np.float32),
+                       embedding=np.ones(24, np.float32))]
+    synth = BatchedSynthesizer(tiny_stack, text_bucket=8, speech_bucket=8)
+    wavs = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(2))
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.shape[0] > 0 and np.isfinite(w).all()
+
+
+def test_ema():
+    from cosyvoice_tpu.train.ema import ema_init, ema_update
+
+    p = {"w": jnp.ones(3)}
+    s = ema_init(p)
+    s = ema_update(s, {"w": jnp.zeros(3)}, decay=0.9)
+    np.testing.assert_allclose(np.asarray(s["w"]), np.full(3, 0.9), rtol=1e-6)
+
+
+def test_msd_discriminator(tiny_stack):
+    from cosyvoice_tpu.models.discriminator import MultiScaleDiscriminator
+
+    rng = np.random.default_rng(0)
+    d = MultiScaleDiscriminator()
+    y = jnp.asarray(rng.standard_normal((1, 1000)).astype(np.float32))
+    params = d.init(jax.random.PRNGKey(0), y, y)
+    rs, gs, fr, fg = d.apply(params, y, y * 0.5)
+    assert len(rs) == 3 and len(fr) == 3
+    assert all(np.isfinite(np.asarray(r)).all() for r in rs)

@@ -88,6 +88,7 @@ def _ref_v1(cfg: TransformerLMConfig):
 
 
 def test_v1_lm_greedy_decode_parity(rng):
+    rng = np.random.default_rng(12345)  # pinned: greedy parity needs fixed inputs
     cfg = _v1_cfg()
     ref = _ref_v1(cfg)
     text = rng.integers(0, cfg.text_token_size, (1, 5)).astype(np.int64)
@@ -231,3 +232,47 @@ def test_v1_flow_inference_parity(rng):
     assert cache_j[0].shape[1] == 5 + min(34, 5 + mel_len2)  # prompt + overlap pin
     np.testing.assert_allclose(np.asarray(cache_j[0]).transpose(0, 2, 1),
                                cache_ref[..., 0].numpy(), atol=1e-5)
+
+
+def test_v1_phoneme_lm_train_and_decode(rng):
+    from cosyvoice_tpu.models.llm_phoneme import PhonemeEmbedConfig
+    from cosyvoice_tpu.models.llm_v1_phoneme import (TransformerLMPhoneme,
+                                                     V1PhonemeLMConfig,
+                                                     v1_phoneme_generate)
+
+    pho_cfg = PhonemeEmbedConfig(text_token_size=20, text_token_dim=12,
+                                 text_tone_size=16, text_tone_dim=8,
+                                 text_lang_size=2, text_lang_dim=2,
+                                 text_prsd_size=6, text_prsd_dim=2)
+    for spk_adapt in (False, True):
+        te = ConformerConfig(dim=32, heads=4, linear_units=48, num_blocks=1,
+                             dropout_rate=0.0, attention_dropout_rate=0.0,
+                             input_size=24, static_chunk_size=1,
+                             spk_adapt=spk_adapt, spk_emb_size=6)
+        lm_body = ConformerConfig(dim=32, heads=4, linear_units=48, num_blocks=1,
+                                  dropout_rate=0.0, attention_dropout_rate=0.0,
+                                  input_size=32, static_chunk_size=1,
+                                  input_layer="linear_legacy", activation="relu")
+        cfg = V1PhonemeLMConfig(
+            text_encoder_input_size=24, llm_input_size=32, llm_output_size=32,
+            text_token_size=40, speech_token_size=12, spk_embed_dim=6,
+            sampling=SamplingConfig(method="ras", top_k=4),
+            text_encoder=te, llm=lm_body, phoneme=pho_cfg, spk_adapt=spk_adapt)
+        model = TransformerLMPhoneme(cfg)
+        rngl = np.random.default_rng(3)
+        pho = jnp.asarray(np.stack([
+            rngl.integers(0, [20, 16, 2, 6], (6, 4)),
+            rngl.integers(0, [20, 16, 2, 6], (6, 4))]))
+        speech = jnp.asarray(rngl.integers(0, 12, (2, 7)))
+        emb = jnp.asarray(rngl.standard_normal((2, 6)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), pho, jnp.asarray([6, 5]),
+                            speech, jnp.asarray([7, 6]), emb)
+        out = model.apply(params, pho, jnp.asarray([6, 5]), speech,
+                          jnp.asarray([7, 6]), emb)
+        assert np.isfinite(float(out["loss"])), f"spk_adapt={spk_adapt}"
+
+        toks, cnt = v1_phoneme_generate(
+            model, params, pho[:1], jnp.asarray([6]), speech[:1, :4],
+            jnp.asarray([4]), emb[:1], jnp.asarray([0]), jnp.asarray([10]),
+            jax.random.PRNGKey(1), max_steps=12, cache_len=48)
+        assert (np.asarray(toks[0][:int(cnt[0])]) < 12).all()
