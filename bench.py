@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 N_TOKENS = 500            # 20 s of audio per utterance at 25 Hz
-BATCH = 8
+BATCHES = (8, 16)
 
 
 def log(*a):
@@ -27,6 +27,9 @@ def log(*a):
 
 
 def main():
+    from cosyvoice_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from cosyvoice_tpu.models.flow import CausalMaskedDiffWithXvec, FlowConfig
     from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
     from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, lm_generate
@@ -81,7 +84,7 @@ def main():
         return wav.block_until_ready()
 
     results = {}
-    for B in (1, BATCH):
+    for B in (1,) + BATCHES:
         log(f"B={B}: warmup/compile...")
         wav = run(B, 0)
         assert np.isfinite(np.asarray(wav)).all(), "non-finite waveform"
@@ -95,9 +98,11 @@ def main():
         results[B] = audio_s / dt
         log(f"B={B}: {dt:.2f}s for {audio_s:.0f}s audio -> {results[B]:.1f}x realtime")
 
-    value = max(results.values())
+    best_b = max(results, key=results.get)
+    value = results[best_b]
     print(json.dumps({
-        "metric": f"full text->wav audio-seconds/s per chip (bf16 LM, B={BATCH} serving; 1-stream {results[1]:.1f}x)",
+        "metric": (f"full text->wav audio-seconds/s per chip "
+                   f"(bf16 LM, B={best_b} serving; 1-stream {results[1]:.1f}x)"),
         "value": round(value, 2), "unit": "audio_s/s",
         "vs_baseline": round(value / 50.0, 3)}))
 

@@ -48,6 +48,9 @@ def main():
     args = p.parse_args()
 
     from cosyvoice_tpu.runtime.api import from_pretrained
+    from cosyvoice_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cv = from_pretrained(args.model_dir)
     os.makedirs(args.result_dir, exist_ok=True)

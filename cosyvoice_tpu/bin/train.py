@@ -67,6 +67,9 @@ def make_dataset(list_file, conf, tokenizer, rank, world_size, epoch):
 
 def main():
     args = get_args()
+    from cosyvoice_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
     conf = load_config(args.config)
     model_conf = dict(conf[args.model])

@@ -49,13 +49,23 @@ def shard_list(items: list, rank: int, world_size: int, shuffle: bool = True,
 # ---- stages (each: iterator -> iterator) ---------------------------------
 
 def jsonl_opener(it):
-    """lines of json files -> sample dicts (dataset_jsondata-style lists)."""
+    """lines of json files -> sample dicts (dataset_jsondata-style lists).
+
+    'speech' may be an inline list (tests/tiny sets) or a wav path."""
     for path in it:
         with open(path) as f:
             for line in f:
                 line = line.strip()
-                if line:
-                    yield json.loads(line)
+                if not line:
+                    continue
+                s = json.loads(line)
+                if isinstance(s.get("speech"), str):
+                    from cosyvoice_tpu.bin.inference import read_wav
+
+                    s["speech"], s["sample_rate"] = read_wav(s["speech"])
+                elif isinstance(s.get("speech"), list):
+                    s["speech"] = np.asarray(s["speech"], np.float32)
+                yield s
 
 
 def filter_samples(max_length=10240, min_length=10, token_max_length=200,

@@ -239,9 +239,8 @@ def lm_generate_from_embeds(model, params, embeds, seq_len, min_len, max_len,
     Returns (tokens [B, max_steps], count [B]).
     """
     cfg = model.cfg
-    eos = cfg.eos_token
-    B = embeds.shape[0]
     cls = type(model)
+    B = embeds.shape[0]
 
     Tp = embeds.shape[1]
     cache = KVCache.create(cfg.qwen, B, cache_len, dtype=embeds.dtype)
@@ -255,7 +254,7 @@ def lm_generate_from_embeds(model, params, embeds, seq_len, min_len, max_len,
     hidden, cache = model.apply(params, embeds, positions, bias, cache,
                                 method=cls.forward_hidden)
     # cache.pos advanced by Tp; rows shorter than Tp leave garbage K/V in
-    # their padding slots — masked per-row by the decode bias below.
+    # their padding slots — masked per-row by the decode bias.
     last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
 
     win = cfg.sampling.win_size
@@ -271,58 +270,17 @@ def lm_generate_from_embeds(model, params, embeds, seq_len, min_len, max_len,
         rng=rng,
     )
 
-    def sample_from(hidden_last, state):
-        logits = model.apply(params, hidden_last, method=cls.decode_logits)
-        logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
-        # suppress EOS while step < min_len (mask instead of re-draw)
-        suppress = state.step < min_len
-        logp = jnp.where(suppress[:, None] & (jnp.arange(logp.shape[-1])[None] == eos),
-                         NEG_INF, logp)
-        rng, k = jax.random.split(state.rng)
-        rv = jnp.arange(win)[None] < state.recent_n[:, None]
-        tok = _sample(cfg.sampling, k, logp, state.recent, rv)
-        return tok, rng
-
-    def advance(state, tok, rng):
-        emitted = (tok < eos) & ~state.done
-        done = state.done | (tok == eos) | (state.step + 1 >= max_len)
-        out = jax.vmap(lambda o, c, t, e: jnp.where(e, o.at[c].set(t), o))(
-            state.out, state.count, tok, emitted)
-        recent = jax.vmap(lambda r, t, e: jnp.where(e, jnp.roll(r, -1).at[-1].set(t), r))(
-            state.recent, tok, emitted)
-        recent_n = jnp.minimum(state.recent_n + emitted, win)
-        new_emb = model.apply(params, tok[:, None], method=cls.speech_emb)
-        prev_emb = jnp.where(emitted[:, None, None], new_emb, state.prev_emb)
-        return state._replace(prev_emb=prev_emb, step=state.step + 1,
-                              count=state.count + emitted, done=done, out=out,
-                              recent=recent, recent_n=recent_n, rng=rng)
-
-    tok0, rng0 = sample_from(last, state)
-    state = advance(state._replace(rng=rng0), tok0, rng0)
-
-    Tp_total = Tp  # prefill buffer length (rows may be shorter: seq_len)
+    sample_from, advance, body = _decode_machinery(model, params, seq_len, Tp,
+                                                   cache_len, max_steps)
+    tok0, rng0 = sample_from(last, state, min_len)
+    state = advance(state, tok0, rng0, max_len)
 
     def cond(state):
         return (~jnp.all(state.done)) & (state.step < max_steps)
 
-    def body(state):
-        # per-row logical position: row b consumed seq_len[b] prefill tokens
-        # plus (step-1) decode tokens so far
-        pos = (seq_len + state.step - 1)[:, None]
-        # per-row key validity: prefill slots [0, seq_len_b) plus decode
-        # slots [Tp_total, cache.pos]
-        slot = jnp.arange(cache_len)[None, None, None, :]
-        valid = (slot < seq_len[:, None, None, None]) | \
-                ((slot >= Tp_total) & (slot <= state.cache.pos))
-        bias = jnp.where(valid, 0.0, NEG_INF).astype(state.prev_emb.dtype)
-        hidden, cache = model.apply(params, state.prev_emb, pos, bias,
-                                    state.cache, method=cls.forward_hidden)
-        tok, rng = sample_from(hidden, state)
-        return advance(state._replace(cache=cache, rng=rng), tok, rng)
-
-    state = jax.lax.while_loop(cond, body, state)
+    state = jax.lax.while_loop(
+        cond, lambda st: body(st, min_len, max_len), state)
     return state.out, state.count
-
 
 
 @partial(jax.jit, static_argnames=("model", "max_steps", "cache_len"))
