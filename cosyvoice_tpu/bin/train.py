@@ -50,19 +50,25 @@ def get_args():
     return p.parse_args()
 
 
-def make_dataset(list_file, conf, tokenizer, rank, world_size, epoch):
+def make_dataset(list_file, conf, tokenizer, rank, world_size, epoch,
+                 gan=False, with_f0=False):
     shards = [l.strip() for l in open(list_file) if l.strip()]
     shards = pp.shard_list(shards, rank, world_size, epoch=epoch)
-    return pp.Pipeline(
-        shards, pp.jsonl_opener,
+    stages = [
         pp.filter_samples(**conf.get("filter", {})),
         pp.resample(conf.get("sample_rate", 24000)),
         pp.compute_fbank(**conf.get("fbank", {})),
+    ]
+    if with_f0:
+        stages.append(pp.compute_f0(sr=conf.get("sample_rate", 24000)))
+    stages += [
         pp.tokenize(tokenizer),
         pp.shuffle(conf.get("shuffle_buf", 10000)),
         pp.sort_by_feat_len(conf.get("sort_buf", 500)),
         pp.dynamic_batch(conf.get("max_frames_in_batch", 2000)),
-        pp.padding())
+        pp.padding(gan=gan),
+    ]
+    return pp.Pipeline(shards, pp.jsonl_opener, *stages)
 
 
 def main():
@@ -82,8 +88,10 @@ def main():
                  else ByteTokenizer())
 
     # init params from one batch
+    is_gan = args.model in ("hift", "bigvgan", "vits")
     ds = make_dataset(args.train_data, conf.get("data", {}), tokenizer,
-                      args.rank, args.world_size, 0)
+                      args.rank, args.world_size, 0,
+                      gan=is_gan, with_f0=(args.model == "hift"))
     first = next(iter(ds))
     from cosyvoice_tpu.train.executor import arrays_only
     b0 = {k: jnp.asarray(v) for k, v in arrays_only(first).items()}
@@ -99,10 +107,9 @@ def main():
                             b0["embedding"], rng)
         loss_fn = flow_loss_fn(model)
         rules = []
-    else:
-        raise NotImplementedError(
-            f"--model {args.model}: GAN vocoder training uses "
-            "cosyvoice_tpu.train.gan (see tests/test_gan.py for the wiring)")
+    else:  # hift / bigvgan / vits: two-optimizer GAN training
+        run_gan_training(args, conf, model, train_conf, tokenizer, rng, b0)
+        return
 
     params, _ = shard_params(params, mesh, rules)
     tx, _ = make_optimizer(
@@ -134,6 +141,125 @@ def main():
                                 0, 1, 0)) if args.cv_data else None)
         state = ex.train_one_epoch(state, ds, cv_data=cv,
                                    to_device=lambda b: shard_batch(b, mesh))
+
+
+def run_gan_training(args, conf, model, train_conf, tokenizer, rng, b0):
+    """Two-optimizer GAN loop for the vocoders.
+
+    Behavioral spec: reference `utils/executor.py:84-140`
+    (train_one_epoc_gan: D step then G step per batch) +
+    `utils/train_utils.py:166-196` (separate D optimizer/scheduler) +
+    `hifigan/hifigan.py:35-103` (loss assembly).
+    """
+    from cosyvoice_tpu.models.discriminator import (MultiPeriodDiscriminator,
+                                                    MultiResolutionDiscriminator,
+                                                    MultiScaleDiscriminator,
+                                                    MultipleDiscriminator)
+    from cosyvoice_tpu.ops.mel import log_mel_spectrogram
+    from cosyvoice_tpu.train.checkpoint import latest_step, restore_checkpoint
+    from cosyvoice_tpu.train.executor import GanExecutor
+    from cosyvoice_tpu.train.gan import (GanLossWeights, make_gan_loss_fns,
+                                         make_gan_steps, make_vits_loss_fns)
+    from cosyvoice_tpu.train.step import make_train_state
+
+    gan_conf = conf.get("gan_conf", {})
+    weights = GanLossWeights(
+        mel=gan_conf.get("mel_weight", 45.0),
+        feat_match=gan_conf.get("feat_match_weight", 2.0),
+        tpr=gan_conf.get("tpr_weight", 1.0),
+        tpr_tau=gan_conf.get("tpr_tau", 0.04))
+    disc_cls = {"multiple": MultipleDiscriminator,
+                "mpd": MultiPeriodDiscriminator,
+                "msd": MultiScaleDiscriminator,
+                "mrd": MultiResolutionDiscriminator}[
+        gan_conf.get("discriminator", "multiple")]
+    disc = disc_cls(**{k: tuple(v) if isinstance(v, list) else v
+                       for k, v in gan_conf.get("discriminator_conf", {}).items()})
+    sr = conf.get("data", {}).get("sample_rate", 24000)
+    mel_specs = gan_conf.get("mel_specs", [{}])  # multi-res mel L1 configs
+    mel_tfs = [lambda w, d=dict(d): log_mel_spectrogram(w, sr=sr, **d)
+               for d in mel_specs]
+
+    k0, k1, k2 = jax.random.split(rng, 3)
+    wav0 = b0["speech"][:, :sr]  # 1 s slice is enough to build D params
+    d_params = disc.init(k2, wav0, wav0)
+
+    if args.model == "hift":
+        g_params = model.init({"params": k0, "noise": k1}, b0["speech_feat"])
+
+        def gen_apply(p, batch, r):
+            return model.apply(p, batch["speech_feat"], rngs={"noise": r})
+
+        g_lf, d_lf = make_gan_loss_fns(gen_apply, disc.apply, mel_tfs, weights)
+    elif args.model == "bigvgan":
+        g_params = model.init(k0, b0["speech_token"], b0["speech_token_len"],
+                              b0["embedding"])
+
+        def gen_apply(p, batch, r):
+            return model.apply(p, batch["speech_token"],
+                               batch["speech_token_len"], batch["embedding"],
+                               deterministic=False, rngs={"dropout": r})
+
+        g_lf, d_lf = make_gan_loss_fns(gen_apply, disc.apply, mel_tfs, weights)
+    else:  # vits
+        from cosyvoice_tpu.models.vits import linear_spectrogram
+        vcfg = model.cfg
+        n_fft = (vcfg.spec_channels - 1) * 2
+
+        def with_spec(batch, r):
+            spec = linear_spectrogram(batch["speech"], n_fft=n_fft,
+                                      hop=vcfg.hop_length, win=n_fft)
+            spec_len = batch["speech_len"] // vcfg.hop_length
+            return spec, spec_len
+
+        spec0, spec_len0 = with_spec(b0, None)
+        g_params = model.init(k0, b0["speech_token"], b0["speech_token_len"],
+                              spec0, spec_len0, b0["embedding"], k1)
+
+        def gen_apply(p, batch, r):
+            spec, spec_len = with_spec(batch, r)
+            return model.apply(p, batch["speech_token"],
+                               batch["speech_token_len"], spec, spec_len,
+                               batch["embedding"], r, deterministic=False,
+                               rngs={"dropout": r})
+
+        g_lf, d_lf = make_vits_loss_fns(
+            gen_apply, disc.apply, mel_tfs, vcfg.hop_length,
+            vcfg.segment_size, weights,
+            kl_weight=gan_conf.get("kl_weight", 1.0))
+
+    tx_g, _ = make_optimizer(
+        train_conf.get("optim", "adam"), train_conf.get("lr", 2e-4),
+        train_conf.get("scheduler", "constantlr"),
+        train_conf.get("scheduler_conf", {}),
+        grad_clip=train_conf.get("grad_clip", 5.0))
+    tx_d, _ = make_optimizer(
+        train_conf.get("optim_d", "adam"), train_conf.get("lr_d", 2e-4),
+        train_conf.get("scheduler_d", "constantlr"),
+        train_conf.get("scheduler_d_conf", {}),
+        grad_clip=train_conf.get("grad_clip", 5.0))
+    g_step, d_step = make_gan_steps(g_lf, d_lf, tx_g, tx_d)
+    g_state = make_train_state(g_params, tx_g)
+    d_state = make_train_state(d_params, tx_d)
+
+    if latest_step(args.model_dir) is not None:  # auto-resume both nets
+        g_state, at = restore_checkpoint(args.model_dir, g_state)
+        logging.info("resumed generator from step %d", at)
+        if latest_step(args.model_dir + "_disc") is not None:
+            d_state, _ = restore_checkpoint(args.model_dir + "_disc", d_state)
+
+    ex = GanExecutor(train_step=g_step, disc_step=d_step,
+                     model_dir=args.model_dir,
+                     save_per_step=train_conf.get("save_per_step", -1),
+                     log_interval=train_conf.get("log_interval", 100))
+    ex.step = int(g_state.step)
+    for epoch in range(args.epochs):
+        ds = make_dataset(args.train_data, conf.get("data", {}), tokenizer,
+                          args.rank, args.world_size, epoch,
+                          gan=True, with_f0=(args.model == "hift"))
+        g_state, d_state = ex.train_one_epoch_gan(
+            g_state, d_state, ds,
+            to_device=lambda b: {k: jnp.asarray(v) for k, v in b.items()})
 
 
 if __name__ == "__main__":

@@ -241,11 +241,20 @@ def padding(use_spk_embedding=False, gan=False, bucket_multiple=32):
                 batch["embedding"] = np.stack(
                     [np.asarray(s.get(key, s["embedding"]), np.float32) for s in samples])
             if gan:
-                sp_len = np.asarray([len(s["speech"]) for s in samples], np.int32)
-                Ls = round_up(int(sp_len.max()), 480 * bucket_multiple)
+                # align waveform padding with the mel padding (L frames x hop
+                # samples) so vocoder output and real speech share a static
+                # length; the tail beyond L*hop never has a mel frame anyway
+                hop = gan if not isinstance(gan, bool) else 480
+                Ls = L * hop
+                sp_len = np.minimum(
+                    np.asarray([len(s["speech"]) for s in samples], np.int32), Ls)
                 batch["speech"] = _pad_to(
-                    [np.asarray(s["speech"], np.float32) for s in samples], Ls)
+                    [np.asarray(s["speech"][:Ls], np.float32) for s in samples], Ls)
                 batch["speech_len"] = sp_len
+                if "pitch_feat" in samples[0]:
+                    batch["pitch_feat"] = _pad_to(
+                        [np.asarray(s["pitch_feat"], np.float32)
+                         for s in samples], L)
             yield batch
 
     return stage

@@ -128,5 +128,6 @@ class GanExecutor(Executor):
                 save_checkpoint(self.model_dir + "_disc", d_state, self.step)
         save_checkpoint(self.model_dir, g_state, self.step,
                         {"epoch": self.epoch, "whole": True})
+        save_checkpoint(self.model_dir + "_disc", d_state, self.step)
         self.epoch += 1
         return g_state, d_state

@@ -124,3 +124,62 @@ def test_gan_training_steps(rng):
     for v in list(dm.values()) + list(gm.values()):
         assert np.isfinite(float(v))
     assert float(gm["grad_norm"]) > 0
+
+
+def test_vits_gan_training_steps(rng):
+    """VITS slice-GAN loss assembly (hifigan/hifigan.py:35-78 VITS branch):
+    one full D/G alternation on the tiny config, real side sliced at the
+    generator's random ids, KL term included."""
+    from cosyvoice_tpu.models.vits import VitsDecoder, linear_spectrogram
+    from cosyvoice_tpu.ops.mel import log_mel_spectrogram
+    from cosyvoice_tpu.train.gan import make_gan_steps, make_vits_loss_fns
+    from cosyvoice_tpu.train.optim import make_optimizer
+    from cosyvoice_tpu.train.step import make_train_state
+    from tests.test_vits import SMALL
+
+    model = VitsDecoder(SMALL)
+    B, Ttok = 2, 16
+    hop = SMALL.hop_length                      # 12
+    speech = jnp.asarray(
+        rng.standard_normal((B, Ttok * hop)).astype(np.float32) * 0.1)
+    tokens = jnp.asarray(rng.integers(0, SMALL.n_vocab, (B, Ttok)))
+    token_len = jnp.asarray([Ttok, Ttok - 4])
+    emb = jnp.asarray(rng.standard_normal((B, SMALL.gin_channels)).astype(np.float32))
+    n_fft = (SMALL.spec_channels - 1) * 2
+
+    def with_spec(batch):
+        spec = linear_spectrogram(batch["speech"], n_fft=n_fft, hop=hop,
+                                  win=n_fft)[:, :Ttok]
+        return spec, batch["speech_len"] // hop
+
+    batch = {"speech": speech,
+             "speech_len": jnp.asarray([Ttok * hop, Ttok * hop]),
+             "speech_token": tokens, "speech_token_len": token_len,
+             "embedding": emb}
+    spec0, spec_len0 = with_spec(batch)
+    g_params = model.init(jax.random.PRNGKey(0), tokens, token_len, spec0,
+                          spec_len0, emb, jax.random.PRNGKey(1))
+    disc = MultiPeriodDiscriminator(periods=(2, 3))
+    seg = jnp.zeros((B, SMALL.segment_size))
+    d_params = disc.init(jax.random.PRNGKey(2), seg, seg)
+
+    def gen_apply(p, b, r):
+        spec, spec_len = with_spec(b)
+        return model.apply(p, b["speech_token"], b["speech_token_len"], spec,
+                           spec_len, b["embedding"], r)
+
+    mel_tf = lambda w: log_mel_spectrogram(w, n_fft=48, n_mels=8,
+                                           sr=SMALL.sample_rate, hop=hop, win=48)
+    g_lf, d_lf = make_vits_loss_fns(gen_apply, disc.apply, [mel_tf],
+                                    hop, SMALL.segment_size)
+    tx_g, _ = make_optimizer("adam", 1e-4, "constantlr")
+    tx_d, _ = make_optimizer("adam", 1e-4, "constantlr")
+    g_step, d_step = make_gan_steps(g_lf, d_lf, tx_g, tx_d)
+    g_state = make_train_state(g_params, tx_g)
+    d_state = make_train_state(d_params, tx_d)
+    d_state, dm = d_step(d_state, g_state.params, batch, jax.random.PRNGKey(3))
+    g_state, gm = g_step(g_state, (d_state.params, batch), jax.random.PRNGKey(4))
+    for v in list(dm.values()) + list(gm.values()):
+        assert np.isfinite(float(v))
+    assert float(gm["loss_kl"]) > 0
+    assert float(gm["grad_norm"]) > 0
