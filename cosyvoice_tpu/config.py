@@ -40,7 +40,8 @@ def _registry():
     from cosyvoice_tpu.models.conformer import ConformerConfig
     from cosyvoice_tpu.models.flow import (CFMConfig, CausalMaskedDiffWithXvec,
                                            EstimatorConfig, FlowConfig,
-                                           FlowV1Config, MaskedDiffWithXvec)
+                                           FlowV1Config, MaskedDiffWithXvec,
+                                           StreamMaskedDiffWithXvec)
     from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
     from cosyvoice_tpu.models.llm import (LMConfig, Qwen2LM, SamplingConfig,
                                           TransformerLM, TransformerLMConfig)
@@ -68,6 +69,7 @@ def _registry():
         "qwen2lm_phoneme_src2": (Qwen2LMPhonemeSrc2, PhonemeLMConfig),
         "qwen2lm_phoneme_multicode": (Qwen2LMPhonemeMultiCode, MultiCodeLMConfig),
         "flow": (CausalMaskedDiffWithXvec, FlowConfig),
+        "flow_stream": (StreamMaskedDiffWithXvec, FlowConfig),
         "flow_v1": (MaskedDiffWithXvec, FlowV1Config),
         "hift": (HiFTGenerator, HiFTConfig),
         "bigvgan": (BigVGAN, BigVGANConfig),

@@ -425,7 +425,16 @@ class UpsampleConformerEncoder(nn.Module):
         cfg = self.cfg
         T = xs.shape[1]
         pad = make_non_pad_mask(lens, T)
-        xs = LinearEmbed(cfg.dim, cfg.dropout_rate, name="embed")(xs, deterministic)
+        embed = LinearEmbed(cfg.dim, cfg.dropout_rate, name="embed")
+        if context is not None:
+            # streaming non-finalize chunks: the lookahead context tokens go
+            # through the same input embed (upsample_encoder.py:495-498; the
+            # positional part is discarded there — rel-pos is handled in
+            # attention here, so only the linear embed applies)
+            both = embed(jnp.concatenate([xs, context], axis=1), deterministic)
+            xs, context = both[:, :T], both[:, T:]
+        else:
+            xs = embed(xs, deterministic)
         pos_emb = espnet_rel_pos_emb(T, cfg.dim, xs.dtype)
         chunk = cfg.static_chunk_size if streaming else 0
         attn_mask = add_chunk_mask(pad, chunk)

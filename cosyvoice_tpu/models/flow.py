@@ -138,6 +138,11 @@ class EstimatorConfig:
     num_heads: int = 8
     attention_head_dim: int = 64
     static_chunk_size: int = 50  # mel frames per streaming chunk (2*fr*ratio)
+    # StreamConditionalDecoder (decoder.py:337-537): when True AND the call
+    # passes streaming=True, attention uses a chunk mask (chunk=
+    # static_chunk_size, all left context) as a proper -inf bias instead of
+    # the base class's float-pad-bias quirk.
+    stream: bool = False
 
 
 class Downsample1D(nn.Module):
@@ -185,8 +190,20 @@ class ConditionalDecoder(nn.Module):
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
 
         def blocks(h, ch, m, name):
-            # reference semantics: float 0/1 pairwise mask as additive bias
-            attn_bias = (m[:, :, None] * m[:, None, :]).astype(h.dtype)
+            if cfg.stream:
+                # StreamConditionalDecoder (decoder.py:479-492): both branches
+                # run through mask_to_bias -> real -inf bias; streaming=True
+                # additionally applies a static chunk mask (all left chunks),
+                # with the SAME chunk size at every resolution level
+                from cosyvoice_tpu.ops.masks import NEG_INF, add_chunk_mask
+
+                keep = add_chunk_mask(m > 0,
+                                      cfg.static_chunk_size if streaming else 0)
+                attn_bias = jnp.where(keep, 0.0, NEG_INF).astype(h.dtype)
+            else:
+                # base ConditionalDecoder quirk: float 0/1 pairwise mask used
+                # as an ADDITIVE bias by the diffusers attention
+                attn_bias = (m[:, :, None] * m[:, None, :]).astype(h.dtype)
             h = ResnetBlock1D(ch, cfg.causal, name=f"{name}_resnet")(h, m, t_emb)
             for j in range(cfg.n_blocks):
                 h = DiTBlock(ch, cfg.num_heads, cfg.attention_head_dim,
@@ -362,16 +379,26 @@ class CausalMaskedDiffWithXvec(nn.Module):
         self.encoder_proj = nn.Dense(cfg.output_size)
         self.decoder = CausalConditionalCFM(cfg.cfm, cfg.estimator)
 
-    def _encode(self, token, token_len, streaming=False, deterministic=True):
+    def _encode(self, token, token_len, streaming=False, deterministic=True,
+                finalize=True):
         mask = make_non_pad_mask(token_len, token.shape[1])
         emb = self.input_embedding(jnp.maximum(token, 0)) * mask[..., None]
-        h, pad2 = self.encoder(emb, token_len, streaming=streaming,
-                               deterministic=deterministic)
+        if not finalize:
+            # stream chunks keep the last pre_lookahead tokens as real
+            # lookahead context instead of the zero pad
+            # (flow.py:430-433 StreamMaskedDiffWithXvec.inference)
+            la = self.cfg.pre_lookahead_len
+            emb, ctx = emb[:, :-la], emb[:, -la:]
+            h, pad2 = self.encoder(emb, token_len, streaming=streaming,
+                                   context=ctx, deterministic=deterministic)
+        else:
+            h, pad2 = self.encoder(emb, token_len, streaming=streaming,
+                                   deterministic=deterministic)
         return self.encoder_proj(h), pad2
 
     def inference(self, token, token_len, prompt_feat, embedding,
                   n_timesteps: int = 10, noise: Optional[jax.Array] = None,
-                  streaming: bool = False) -> jax.Array:
+                  streaming: bool = False, finalize: bool = True) -> jax.Array:
         """token [B, Tp+Tg] (prompt tokens ++ generated tokens, already
         concatenated and trimmed to ratio-multiples by the caller),
         prompt_feat [B, P, 80] with P = ratio * prompt_token_len,
@@ -379,7 +406,8 @@ class CausalMaskedDiffWithXvec(nn.Module):
         """
         spks = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True).clip(1e-12)
         spks = self.spk_embed_affine_layer(spks)
-        h, _ = self._encode(token, token_len, streaming=streaming)
+        h, _ = self._encode(token, token_len, streaming=streaming,
+                            finalize=finalize)
         P = prompt_feat.shape[1]
         T2 = h.shape[1]
         conds = jnp.zeros((h.shape[0], T2, self.cfg.output_size), h.dtype)
@@ -417,6 +445,31 @@ class CausalMaskedDiffWithXvec(nn.Module):
         loss, _ = self.decoder.compute_loss(feat, mask, h, spks, conds, k_cfm,
                                             streaming=streaming)
         return {"loss": loss}
+
+
+class StreamMaskedDiffWithXvec(CausalMaskedDiffWithXvec):
+    """Unified stream/non-stream flow model (reference flow/flow.py:322-455).
+
+    Same submodule layout as CausalMaskedDiffWithXvec; the differences are
+    all runtime flags this base class already routes:
+      * training picks streaming on/off per batch (flow.py:372; here the
+        train loop passes `streaming` explicitly and alternates),
+      * `streaming=True` applies static chunk masks in the encoder
+        (chunk, then 2x chunk after upsample) and — with
+        `estimator.stream=True` — chunked attention in the CFM estimator
+        (StreamConditionalDecoder, decoder.py:337-537),
+      * non-finalize chunks pass the last `pre_lookahead_len` tokens as
+        real encoder lookahead context (flow.py:429-433).
+
+    Use `FlowConfig(estimator=EstimatorConfig(stream=True), ...)` (the
+    `flow_stream` registry kind) so the estimator honors the chunk masks.
+
+    NOTE: in the reference fork this path is latent-broken —
+    `PreLookaheadLayer.forward` (upsample_encoder.py:81) does not accept
+    the `context` kwarg that `UpsampleConformerEncoder_v2.forward:502`
+    passes — so behavior here follows the upstream CosyVoice semantics the
+    code was lifted from (context fills the lookahead window).
+    """
 
 
 # --------------------------------------------------------------------------
