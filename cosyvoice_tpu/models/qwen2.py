@@ -197,6 +197,37 @@ def decode_step_bias(pos: jax.Array, max_len: int, batch: int = 1,
 # HF checkpoint import
 # --------------------------------------------------------------------------
 
+def export_qwen2_torch(params, cfg: Qwen2Config) -> dict:
+    """Inverse of import_qwen2_torch: flax params -> HF `model.*` numpy
+    state dict (used by bin/export_serving_lm to re-head the speech LM for
+    HF-compatible serving stacks, reference bin/vllm_save_newckpt.py:5-45)."""
+    p = params["params"] if "params" in params else params
+    out = {
+        "model.embed_tokens.weight": np.asarray(p["embed_tokens"]["embedding"]),
+        "model.norm.weight": np.asarray(p["norm"]),
+    }
+
+    def dense(dst, src, bias):
+        out[f"{dst}.weight"] = np.asarray(src["kernel"]).T
+        if bias:
+            out[f"{dst}.bias"] = np.asarray(src["bias"])
+
+    for i in range(cfg.num_layers):
+        lp = p[f"layers_{i}"]
+        d = f"model.layers.{i}"
+        out[f"{d}.input_layernorm.weight"] = np.asarray(lp["input_layernorm"])
+        out[f"{d}.post_attention_layernorm.weight"] = np.asarray(
+            lp["post_attention_layernorm"])
+        dense(f"{d}.self_attn.q_proj", lp["q_proj"], True)
+        dense(f"{d}.self_attn.k_proj", lp["k_proj"], True)
+        dense(f"{d}.self_attn.v_proj", lp["v_proj"], True)
+        dense(f"{d}.self_attn.o_proj", lp["o_proj"], False)
+        dense(f"{d}.mlp.gate_proj", lp["gate_proj"], False)
+        dense(f"{d}.mlp.up_proj", lp["up_proj"], False)
+        dense(f"{d}.mlp.down_proj", lp["down_proj"], False)
+    return out
+
+
 def import_qwen2_torch(state_dict, cfg: Qwen2Config) -> dict:
     """HF Qwen2ForCausalLM state_dict (model.* prefix) -> params pytree."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
