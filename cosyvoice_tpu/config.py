@@ -54,7 +54,9 @@ def _registry():
                                                   Qwen2LMPhonemeSrc2)
     from cosyvoice_tpu.models.qwen2 import Qwen2Config
     from cosyvoice_tpu.models.llm_v1_phoneme import (TransformerLMPhoneme,
-                                                     V1PhonemeLMConfig)
+                                                     TransformerLMPhonemeWithSpk,
+                                                     V1PhonemeLMConfig,
+                                                     WithSpkConfig)
     from cosyvoice_tpu.models.s3tokenizer import S3Config, S3TokenizerV2
     from cosyvoice_tpu.models.speaker import (SpeakerEmbedding,
                                               SpeakerEmbeddingConfig)
@@ -64,6 +66,8 @@ def _registry():
         "qwen2lm": (Qwen2LM, LMConfig),
         "transformer_lm": (TransformerLM, TransformerLMConfig),
         "transformer_lm_phoneme": (TransformerLMPhoneme, V1PhonemeLMConfig),
+        "transformer_lm_phoneme_with_spk": (TransformerLMPhonemeWithSpk,
+                                            WithSpkConfig),
         "qwen2lm_phoneme": (Qwen2LMPhoneme, PhonemeLMConfig),
         "qwen2lm_phoneme_src": (Qwen2LMPhonemeSrc, PhonemeLMConfig),
         "qwen2lm_phoneme_src2": (Qwen2LMPhonemeSrc2, PhonemeLMConfig),
@@ -84,6 +88,8 @@ def _registry():
         ("TransformerLMConfig", "sampling"): SamplingConfig,
         ("TransformerLMConfig", "text_encoder"): ConformerConfig,
         ("TransformerLMConfig", "llm"): ConformerConfig,
+        ("WithSpkConfig", "lm"): V1PhonemeLMConfig,
+        ("WithSpkConfig", "spk"): SpeakerEmbeddingConfig,
         ("V1PhonemeLMConfig", "sampling"): SamplingConfig,
         ("V1PhonemeLMConfig", "text_encoder"): ConformerConfig,
         ("V1PhonemeLMConfig", "llm"): ConformerConfig,

@@ -204,3 +204,86 @@ def v1_phoneme_generate(model: TransformerLMPhoneme, params, pho_token, pho_len,
 
     state = jax.lax.while_loop(cond, body, state)
     return state.out, state.count
+
+
+# --------------------------------------------------------------------------
+# speaker-co-training variant (reference llm/llm_with_spk.py)
+# --------------------------------------------------------------------------
+
+def spec_augment(x: jax.Array, rng: jax.Array, freq_mask: int = 10,
+                 time_mask_frac: float = 0.1, n_masks: int = 2) -> jax.Array:
+    """Light SpecAugment for the speaker-branch augmentation pass
+    (reference SpeakerEmbedding spec_aug_config, speaker_encoder.py): zero
+    `n_masks` random frequency bands (width <= freq_mask) and time spans
+    (width <= time_mask_frac * T).  x [B, T, F]."""
+    B, T, F = x.shape
+    tmax = max(int(T * time_mask_frac), 1)
+    for i in range(n_masks):
+        kf0, kf1, kt0, kt1, rng = jax.random.split(rng, 5)
+        f0 = jax.random.randint(kf0, (B, 1, 1), 0, max(F - freq_mask, 1))
+        fw = jax.random.randint(kf1, (B, 1, 1), 0, freq_mask + 1)
+        fpos = jnp.arange(F)[None, None, :]
+        x = jnp.where((fpos >= f0) & (fpos < f0 + fw), 0.0, x)
+        t0 = jax.random.randint(kt0, (B, 1, 1), 0, max(T - tmax, 1))
+        tw = jax.random.randint(kt1, (B, 1, 1), 0, tmax + 1)
+        tpos = jnp.arange(T)[None, :, None]
+        x = jnp.where((tpos >= t0) & (tpos < t0 + tw), 0.0, x)
+    return x
+
+
+@dataclass(frozen=True)
+class WithSpkConfig:
+    lm: V1PhonemeLMConfig = field(default_factory=V1PhonemeLMConfig)
+    spk: "SpeakerEmbeddingConfig" = None  # set via registry/_mk
+    sim_coeff: float = 0.5
+    std_coeff: float = 0.4
+    cov_coeff: float = 0.1
+    use_vicreg: bool = True
+
+
+class TransformerLMPhonemeWithSpk(nn.Module):
+    """v1 phoneme LM co-training its SpeakerEmbedding with a VICReg
+    regularizer between a clean and a SpecAugment'ed speaker-encoder pass
+    (reference `llm/llm_with_spk.py:68-260`: encode_speaker:151-184,
+    VICReg:24-66, forward:195-259).
+
+    TPU-native split of responsibilities: the reference's random wave crop /
+    repeat-pad (:156-175) and featurization happen in the data pipeline
+    (`data/pipeline.py` + `train/online_codec.random_crop_or_repeat`), so
+    this module takes static-shape fbank/linear-spec features; the aug pass
+    runs inside the same jitted loss with stop_gradient (the torch
+    `no_grad()` at :253-255).
+    """
+
+    cfg: WithSpkConfig = field(default_factory=WithSpkConfig)
+
+    def setup(self):
+        from cosyvoice_tpu.models.speaker import (SpeakerEmbedding,
+                                                  SpeakerEmbeddingConfig)
+
+        self.lm = TransformerLMPhoneme(self.cfg.lm)
+        self.speaker_embed = SpeakerEmbedding(
+            self.cfg.spk or SpeakerEmbeddingConfig())
+
+    def encode_speaker(self, fbank, spec, spec_len, rng):
+        return self.speaker_embed(fbank, spec, spec_len, rng)
+
+    def __call__(self, pho_token, pho_len, speech, speech_len,
+                 fbank, spec, spec_len, rng,
+                 deterministic: bool = True) -> dict:
+        from cosyvoice_tpu.ops.delay import vicreg_loss
+
+        cfg = self.cfg
+        k_clean, k_aug_sample, k_aug1, k_aug2 = jax.random.split(rng, 4)
+        emb = self.speaker_embed(fbank, spec, spec_len, k_clean)
+        out = self.lm(pho_token, pho_len, speech, speech_len, emb,
+                      deterministic=deterministic)
+        if cfg.use_vicreg and not deterministic:
+            fb_aug = spec_augment(fbank, k_aug1)
+            sp_aug = spec_augment(spec, k_aug2)
+            emb_aug = jax.lax.stop_gradient(
+                self.speaker_embed(fb_aug, sp_aug, spec_len, k_aug_sample))
+            vr = vicreg_loss(emb, emb_aug, cfg.sim_coeff, cfg.std_coeff,
+                             cfg.cov_coeff)
+            out = dict(out, loss=out["loss"] + vr, vicreg=vr)
+        return out

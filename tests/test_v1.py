@@ -276,3 +276,69 @@ def test_v1_phoneme_lm_train_and_decode(rng):
             jnp.asarray([4]), emb[:1], jnp.asarray([0]), jnp.asarray([10]),
             jax.random.PRNGKey(1), max_steps=12, cache_len=48)
         assert (np.asarray(toks[0][:int(cnt[0])]) < 12).all()
+
+
+def test_lm_with_spk_vicreg_cotraining(rng):
+    """TransformerLMPhonemeWithSpk (llm_with_spk.py:68-260): CE + VICReg
+    between clean and SpecAug'ed speaker passes; grads reach the speaker
+    encoder only through the clean pass (aug pass is stop_gradient)."""
+    from cosyvoice_tpu.config import build_model
+    from cosyvoice_tpu.models.llm_v1_phoneme import TransformerLMPhonemeWithSpk
+
+    te = ConformerConfig(dim=24, heads=2, linear_units=32, num_blocks=1,
+                         input_size=24, dropout_rate=0.0,
+                         attention_dropout_rate=0.0)
+    lm_body = ConformerConfig(dim=32, heads=2, linear_units=32, num_blocks=1,
+                              input_size=32, dropout_rate=0.0,
+                              attention_dropout_rate=0.0)
+    model, cfg = build_model("transformer_lm_phoneme_with_spk", {
+        "lm": {"text_encoder_input_size": 24, "llm_input_size": 32,
+               "llm_output_size": 32, "text_token_size": 40,
+               "speech_token_size": 12, "spk_embed_dim": 8,
+               "phoneme": {"text_token_size": 20, "text_token_dim": 8,
+                           "text_tone_size": 16, "text_tone_dim": 8,
+                           "text_lang_size": 2, "text_lang_dim": 4,
+                           "text_prsd_size": 6, "text_prsd_dim": 4}},
+        "spk": {"spec_channels": 33, "inter_channels": 16,
+                "hidden_channels": 16, "speaker_emb_dim": 8,
+                "campplus": {"feat_dim": 80, "embedding_size": 8,
+                             "growth_rate": 4, "bn_size": 2,
+                             "init_channels": 8,
+                             "blocks": [[2, 3, 1], [2, 3, 2]]},
+                "style_hidden": 16, "style_heads": 2, "style_layers": 1,
+                "gst_tokens": 8, "gst_heads": 2, "gst_layers": 1}})
+    # patch the conformer bodies to the tiny ones (dicts above keep defaults)
+    from cosyvoice_tpu.models.llm_v1_phoneme import dataclass_replace
+    lm_cfg = dataclass_replace(cfg.lm, text_encoder=te, llm=lm_body)
+    cfg = dataclass_replace(cfg, lm=lm_cfg)
+    model = TransformerLMPhonemeWithSpk(cfg)
+
+    rngl = np.random.default_rng(3)
+    B, Tp, Ts = 2, 6, 7
+    pho = jnp.asarray(rngl.integers(0, [20, 16, 2, 6], (B, Tp, 4)))
+    speech = jnp.asarray(rngl.integers(0, 12, (B, Ts)))
+    fbank = jnp.asarray(rngl.standard_normal((B, 20, 80)).astype(np.float32))
+    spec = jnp.asarray(
+        np.abs(rngl.standard_normal((B, 16, 33))).astype(np.float32))
+    spec_len = jnp.asarray([16, 12])
+    k = jax.random.PRNGKey(0)
+    args = (pho, jnp.asarray([6, 5]), speech, jnp.asarray([7, 6]),
+            fbank, spec, spec_len, k)
+    variables = model.init({"params": k}, *args)
+
+    out = model.apply(variables, *args, deterministic=False)
+    assert np.isfinite(float(out["loss"]))
+    assert float(out["vicreg"]) > 0
+
+    def loss_fn(v):
+        return model.apply({**variables, **v}, *args,
+                           deterministic=False)["loss"]
+
+    g = jax.grad(lambda p: loss_fn({"params": p}))(variables["params"])
+    import optax
+    spk_g = optax.global_norm(g["speaker_embed"])
+    lm_g = optax.global_norm(g["lm"])
+    assert float(spk_g) > 0 and float(lm_g) > 0
+    # deterministic pass skips the aug branch entirely
+    out_det = model.apply(variables, *args, deterministic=True)
+    assert "vicreg" not in out_det
