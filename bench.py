@@ -37,6 +37,13 @@ def main():
 
     rng = np.random.default_rng(0)
     lm_cfg, flow_cfg, hift_cfg = LMConfig(), FlowConfig(), HiFTConfig()
+    if jax.default_backend() == "tpu":
+        # Pallas flash attention in the flow estimator (exact on the unpadded
+        # serving batch; see test_estimator_fused_attention_matches_naive)
+        import dataclasses
+        flow_cfg = dataclasses.replace(
+            flow_cfg, estimator=dataclasses.replace(flow_cfg.estimator,
+                                                    fused_attention=True))
     llm, flow, hift = Qwen2LM(lm_cfg), CausalMaskedDiffWithXvec(flow_cfg), HiFTGenerator(hift_cfg)
 
     def zeros_of(init_fn, fill=0.0):
@@ -81,7 +88,10 @@ def main():
         mel = flow_infer(flow_params, tok, jnp.full((B,), 50 + N_TOKENS),
                          jnp.tile(prompt_feat1, (B, 1, 1)), jnp.tile(emb1, (B, 1)))
         wav, _ = hift_infer(hift_params, mel, jax.random.PRNGKey(seed))
-        return wav.block_until_ready()
+        # force a real device->host read: through the remote-TPU tunnel,
+        # block_until_ready alone does not observably wait for completion
+        float(jnp.sum(jnp.abs(wav[:, ::1000])))
+        return wav
 
     results = {}
     for B in (1,) + BATCHES:

@@ -94,11 +94,47 @@ class ResnetBlock1D(nn.Module):
         return h + Conv1d(self.dim_out, 1, name="res_conv")(x * mask[..., None])
 
 
+def _flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          pad_mask: jax.Array) -> jax.Array:
+    """Fused (flash) full self-attention for the estimator fast path.
+
+    q/k/v [B, T, H, D], pad_mask [B, T] (float or bool, 1 = valid).
+    The naive path materializes [B, H, T, T] fp32 scores — at serving shapes
+    (B=64 CFG rows, T~1100) that is GBs of HBM traffic per DiT block and is
+    the whole-pipeline bottleneck; the Pallas TPU flash kernel streams tiles
+    through VMEM instead.  Pad positions are excluded exactly (segment ids)
+    rather than via the reference's +1/+0 float-bias quirk — identical on
+    unpadded rows (a constant bias shifts softmax by nothing), and strictly
+    better-masked on padded rows.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (BlockSizes,
+                                                                 SegmentIds,
+                                                                 flash_attention)
+
+    B, T, H, D = q.shape
+    Tp = ((T + 127) // 128) * 128
+    pad = ((0, 0), (0, Tp - T), (0, 0), (0, 0))
+    qt = jnp.pad(q, pad).transpose(0, 2, 1, 3)      # [B, H, Tp, D]
+    kt = jnp.pad(k, pad).transpose(0, 2, 1, 3)
+    vt = jnp.pad(v, pad).transpose(0, 2, 1, 3)
+    ids = jnp.pad((pad_mask > 0).astype(jnp.int32), ((0, 0), (0, Tp - T)))
+    blk = next(b for b in (512, 384, 256, 128) if Tp % b == 0)
+    sizes = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk,
+                       block_b=1, block_q_major_dkv=blk, block_k_major_dkv=blk,
+                       block_k_dkv=blk, block_q_dkv=blk,
+                       block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+    o = flash_attention(qt, kt, vt, segment_ids=SegmentIds(q=ids, kv=ids),
+                        causal=False, sm_scale=1.0 / float(np.sqrt(D)),
+                        block_sizes=sizes)
+    return o.transpose(0, 2, 1, 3)[:, :T]
+
+
 class DiTBlock(nn.Module):
     """diffusers BasicTransformerBlock (self-attn only, gelu FF).
 
     attn_bias is ADDED to the scores verbatim — pass the reference's 0/1
-    float mask to reproduce its (soft) masking semantics.
+    float mask to reproduce its (soft) masking semantics.  When `pad_mask`
+    is given instead, the fused flash kernel is used (serving fast path).
     """
 
     dim: int
@@ -107,18 +143,22 @@ class DiTBlock(nn.Module):
     ff_mult: int = 4
 
     @nn.compact
-    def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array]) -> jax.Array:
+    def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array],
+                 pad_mask: Optional[jax.Array] = None) -> jax.Array:
         inner = self.heads * self.head_dim
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         B, T, _ = x.shape
         q = nn.Dense(inner, use_bias=False, name="to_q")(h).reshape(B, T, self.heads, self.head_dim)
         k = nn.Dense(inner, use_bias=False, name="to_k")(h).reshape(B, T, self.heads, self.head_dim)
         v = nn.Dense(inner, use_bias=False, name="to_v")(h).reshape(B, T, self.heads, self.head_dim)
-        scores = jnp.einsum("bihd,bjhd->bhij", q, k) / np.sqrt(self.head_dim)
-        if attn_bias is not None:
-            scores = scores + attn_bias[:, None, :, :]
-        attn = jax.nn.softmax(scores, axis=-1)
-        o = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, T, inner)
+        if pad_mask is not None:
+            o = _flash_self_attention(q, k, v, pad_mask).reshape(B, T, inner)
+        else:
+            scores = jnp.einsum("bihd,bjhd->bhij", q, k) / np.sqrt(self.head_dim)
+            if attn_bias is not None:
+                scores = scores + attn_bias[:, None, :, :]
+            attn = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, T, inner)
         x = x + nn.Dense(self.dim, name="to_out")(o)
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         h = nn.Dense(self.dim * self.ff_mult, name="ff_in")(h)
@@ -143,6 +183,10 @@ class EstimatorConfig:
     # static_chunk_size, all left context) as a proper -inf bias instead of
     # the base class's float-pad-bias quirk.
     stream: bool = False
+    # serving fast path: Pallas flash attention in the DiT blocks (TPU only;
+    # exact on unpadded rows, proper -inf pad masking instead of the float
+    # quirk on padded rows).  Not used while streaming chunk masks are active.
+    fused_attention: bool = False
 
 
 class Downsample1D(nn.Module):
@@ -190,7 +234,11 @@ class ConditionalDecoder(nn.Module):
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
 
         def blocks(h, ch, m, name):
-            if cfg.stream:
+            pm = None
+            if cfg.fused_attention and not (cfg.stream and streaming):
+                pm = m
+                attn_bias = None
+            elif cfg.stream:
                 # StreamConditionalDecoder (decoder.py:479-492): both branches
                 # run through mask_to_bias -> real -inf bias; streaming=True
                 # additionally applies a static chunk mask (all left chunks),
@@ -207,7 +255,7 @@ class ConditionalDecoder(nn.Module):
             h = ResnetBlock1D(ch, cfg.causal, name=f"{name}_resnet")(h, m, t_emb)
             for j in range(cfg.n_blocks):
                 h = DiTBlock(ch, cfg.num_heads, cfg.attention_head_dim,
-                             name=f"{name}_tb_{j}")(h, attn_bias)
+                             name=f"{name}_tb_{j}")(h, attn_bias, pm)
             return h
 
         cpad = (2, 0) if cfg.causal else (1, 1)

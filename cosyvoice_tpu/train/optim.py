@@ -52,10 +52,29 @@ def noam_hold_annealing(peak_lr: float, warmup_steps: int, hold_steps: int,
     return schedule
 
 
+def cosine_annealing(peak_lr: float, max_steps: int, warmup_steps: int = 0,
+                     min_lr: float = 0.0) -> optax.Schedule:
+    """NeMo CosineAnnealing (scheduler.py:497-556, _cosine_annealing:391-394):
+    linear warmup lr*(s+1)/(warmup+1), then cosine from peak to min_lr over
+    (max_steps - warmup_steps), clamped at min_lr past max_steps."""
+
+    def schedule(step):
+        s = step.astype(jnp.float32)
+        warm = peak_lr * (s + 1.0) / (warmup_steps + 1.0)
+        frac = jnp.clip((s - warmup_steps) / max(max_steps - warmup_steps, 1),
+                        0.0, 1.0)
+        mult = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        decay = (peak_lr - min_lr) * mult + min_lr
+        return jnp.where(s < warmup_steps, warm, decay)
+
+    return schedule
+
+
 SCHEDULERS = {
     "warmuplr": warmup_lr,
     "constantlr": constant_lr,
     "NoamHoldAnnealing": noam_hold_annealing,
+    "CosineAnnealing": cosine_annealing,
 }
 
 

@@ -161,3 +161,37 @@ def test_flow_training_loss_runs(rng):
     out = model.apply(params, token, token_len, feat, feat_len, emb,
                       jax.random.PRNGKey(2), deterministic=True)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_estimator_fused_attention_matches_naive(rng, monkeypatch):
+    """Serving fast path (Pallas flash attention) == naive path on full rows.
+
+    Run in interpret mode on CPU.  On rows with padding the fused path masks
+    pads exactly while the reference quirk only down-weights them (+1/+0 float
+    bias), so only the fully-valid row is compared.
+    """
+    from jax.experimental import pallas as pl
+    import dataclasses
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **dict(k, interpret=True)))
+    cfg = dataclasses.replace(EST80, num_heads=2, attention_head_dim=32)
+    cfg_fused = dataclasses.replace(cfg, fused_attention=True)
+    B, T = 2, 12
+    x = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    mu = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((B, 80)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    mask = np.ones((B, T), np.float32)
+    mask[1, 9:] = 0.0
+    mask = jnp.asarray(mask)
+    t = jnp.asarray([0.3, 0.8], np.float32)
+    params = ConditionalDecoder(cfg).init(jax.random.PRNGKey(0), x, mask, mu,
+                                          t, spks, cond)
+    out_naive = ConditionalDecoder(cfg).apply(params, x, mask, mu, t, spks, cond)
+    out_fused = ConditionalDecoder(cfg_fused).apply(params, x, mask, mu, t,
+                                                    spks, cond)
+    np.testing.assert_allclose(np.asarray(out_fused[0]), np.asarray(out_naive[0]),
+                               atol=2e-4, rtol=1e-3)
+    assert np.isfinite(np.asarray(out_fused)).all()

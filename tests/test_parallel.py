@@ -93,3 +93,25 @@ def test_schedules():
     assert float(s2(jnp.asarray(49))) == pytest.approx(0.5e-3, rel=1e-2)
     assert float(s2(jnp.asarray(150))) == pytest.approx(1e-3, rel=1e-6)
     assert float(s2(jnp.asarray(1000))) < 1e-3
+
+
+def test_cosine_annealing_matches_reference():
+    """CosineAnnealing values vs cosyvoice/utils/scheduler.py:497."""
+    import torch
+
+    from cosyvoice_tpu.train.optim import cosine_annealing
+    import tests.reference_util  # noqa: F401  (puts /root/reference on sys.path)
+    from cosyvoice.utils.scheduler import CosineAnnealing as RefSched
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-3)
+    ref = RefSched(opt, max_steps=1000, warmup_steps=100, min_lr=1e-5)
+    s = cosine_annealing(1e-3, max_steps=1000, warmup_steps=100, min_lr=1e-5)
+    check = {0, 1, 50, 99, 100, 101, 500, 999, 1000, 1200}
+    for step in range(1201):
+        if step in check:
+            want = ref.get_last_lr()[0]
+            got = float(s(jnp.asarray(step)))
+            assert got == pytest.approx(want, rel=1e-5, abs=1e-9), (step, want, got)
+        opt.step()
+        ref.step()
