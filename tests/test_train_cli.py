@@ -68,3 +68,13 @@ def test_train_cli_gan_hift(tmp_path, monkeypatch):
     from cosyvoice_tpu.train.checkpoint import latest_step
     assert latest_step(model_dir) is not None
     assert latest_step(model_dir + "_disc") is not None
+
+
+def test_transcribe_stage_injects_text():
+    from cosyvoice_tpu.data.transcriber import transcribe_stage
+
+    samples = [{"txt": "", "speech": [0.0], "sample_rate": 16000},
+               {"txt": "already", "speech": [0.0], "sample_rate": 16000}]
+    out = list(transcribe_stage(transcriber=lambda w, sr: "asr text")(iter(samples)))
+    assert out[0]["txt"] == "asr text"
+    assert out[1]["txt"] == "already"
