@@ -10,6 +10,7 @@ Baseline target (BASELINE.md): >50x real-time per TPU v5e chip;
 vs_baseline = value / 50.  Prints ONE JSON line.
 """
 import json
+import os
 import sys
 import time
 
@@ -37,13 +38,16 @@ def main():
 
     rng = np.random.default_rng(0)
     lm_cfg, flow_cfg, hift_cfg = LMConfig(), FlowConfig(), HiFTConfig()
-    if jax.default_backend() == "tpu":
-        # Pallas flash attention in the flow estimator (exact on the unpadded
-        # serving batch; see test_estimator_fused_attention_matches_naive)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # serving fast path for the CFM estimator: Pallas flash attention
+        # (exact on the unpadded serving batch; see
+        # test_estimator_fused_attention_matches_naive) + bf16 compute
+        # (the reference serves flow in fp16, cli/model.py:43-45)
         import dataclasses
         flow_cfg = dataclasses.replace(
-            flow_cfg, estimator=dataclasses.replace(flow_cfg.estimator,
-                                                    fused_attention=True))
+            flow_cfg, estimator=dataclasses.replace(
+                flow_cfg.estimator, fused_attention=True, dtype="bfloat16"))
     llm, flow, hift = Qwen2LM(lm_cfg), CausalMaskedDiffWithXvec(flow_cfg), HiFTGenerator(hift_cfg)
 
     def zeros_of(init_fn, fill=0.0):
@@ -59,6 +63,14 @@ def main():
     flow_params = zeros_of(lambda: flow.init(
         k, psp1, jnp.asarray([50]), jnp.zeros((1, 20, 80)), jnp.zeros((1, 192)),
         method=CausalMaskedDiffWithXvec.inference))
+    if on_tpu:
+        # estimator subtree in bf16 to match its serving dtype (inputs are
+        # cast inside ConditionalDecoder; encoder stays fp32)
+        flow_params = dict(flow_params)
+        flow_params["params"] = dict(flow_params["params"])
+        flow_params["params"]["decoder"] = dict(flow_params["params"]["decoder"])
+        flow_params["params"]["decoder"]["estimator"] = to_bf16(
+            flow_params["params"]["decoder"]["estimator"])
     hift_params = zeros_of(lambda: hift.init(
         {"params": k, "noise": k}, jnp.zeros((1, 20, 80))), fill=0.01)
 
@@ -75,6 +87,15 @@ def main():
     prompt_feat1 = jnp.asarray((rng.standard_normal((1, 100, 80)) * 0.3).astype(np.float32))
     emb1 = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
 
+    stages = bool(os.environ.get("BENCH_STAGES"))
+
+    def sync(x, name):
+        if stages:
+            t0 = time.time()
+            float(jnp.sum(jnp.abs(x[:1, :8])))
+            log(f"    [{name} done @ +{time.time() - t0:.2f}s]")
+        return x
+
     def run(B, seed):
         text = jnp.tile(text1, (B, 1))
         psp = jnp.tile(psp1, (B, 1))
@@ -84,9 +105,11 @@ def main():
                                  psp, jnp.full((B,), 50), n, n,
                                  jax.random.PRNGKey(seed), max_steps=N_TOKENS,
                                  cache_len=cache_len)
+        sync(out, "lm")
         tok = jnp.concatenate([psp, out], axis=1)
         mel = flow_infer(flow_params, tok, jnp.full((B,), 50 + N_TOKENS),
                          jnp.tile(prompt_feat1, (B, 1, 1)), jnp.tile(emb1, (B, 1)))
+        sync(mel, "flow")
         wav, _ = hift_infer(hift_params, mel, jax.random.PRNGKey(seed))
         # force a real device->host read: through the remote-TPU tunnel,
         # block_until_ready alone does not observably wait for completion

@@ -118,7 +118,13 @@ def _flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     kt = jnp.pad(k, pad).transpose(0, 2, 1, 3)
     vt = jnp.pad(v, pad).transpose(0, 2, 1, 3)
     ids = jnp.pad((pad_mask > 0).astype(jnp.int32), ((0, 0), (0, Tp - T)))
-    blk = next(b for b in (512, 384, 256, 128) if Tp % b == 0)
+    # Whole-sequence blocks when the fp32 score tile fits VMEM: at serving
+    # length (~1.1k frames) this halves the kernel time vs 384-blocks
+    # (fewer pipeline bubbles, no online-softmax rescale passes).
+    if Tp * Tp * 4 <= 6 * 1024 * 1024:
+        blk = Tp
+    else:
+        blk = next(b for b in (1024, 512, 384, 256, 128) if Tp % b == 0)
     sizes = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk,
                        block_b=1, block_q_major_dkv=blk, block_k_major_dkv=blk,
                        block_k_dkv=blk, block_q_dkv=blk,
@@ -148,9 +154,17 @@ class DiTBlock(nn.Module):
         inner = self.heads * self.head_dim
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         B, T, _ = x.shape
-        q = nn.Dense(inner, use_bias=False, name="to_q")(h).reshape(B, T, self.heads, self.head_dim)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(h).reshape(B, T, self.heads, self.head_dim)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(h).reshape(B, T, self.heads, self.head_dim)
+        # raw [in, inner] kernels (diffusers to_q/to_k/to_v, bias=False),
+        # packed into ONE [in, 3*inner] matmul — per output column the dot
+        # product is unchanged, and one MXU pass beats three half-deep ones
+        init = nn.initializers.lecun_normal()
+        wq = self.param("to_q", init, (h.shape[-1], inner))
+        wk = self.param("to_k", init, (h.shape[-1], inner))
+        wv = self.param("to_v", init, (h.shape[-1], inner))
+        qkv = h @ jnp.concatenate([wq, wk, wv], axis=1).astype(h.dtype)
+        q = qkv[..., :inner].reshape(B, T, self.heads, self.head_dim)
+        k = qkv[..., inner:2 * inner].reshape(B, T, self.heads, self.head_dim)
+        v = qkv[..., 2 * inner:].reshape(B, T, self.heads, self.head_dim)
         if pad_mask is not None:
             o = _flash_self_attention(q, k, v, pad_mask).reshape(B, T, inner)
         else:
@@ -187,6 +201,12 @@ class EstimatorConfig:
     # exact on unpadded rows, proper -inf pad masking instead of the float
     # quirk on padded rows).  Not used while streaming chunk masks are active.
     fused_attention: bool = False
+    # serving compute dtype ("float32" | "bfloat16").  With "bfloat16" the
+    # caller should also cast params (utils.dtype.to_bf16); inputs, timestep
+    # embedding and masks are cast here so no fp32 promotion leaks back in.
+    # The reference serves the whole flow stack in fp16 (cli/model.py:43-45);
+    # bf16 on TPU is strictly wider-ranged.  Output is always fp32.
+    dtype: str = "float32"
 
 
 class Downsample1D(nn.Module):
@@ -226,6 +246,11 @@ class ConditionalDecoder(nn.Module):
         cfg = self.cfg
         chans = tuple(cfg.channels)
         time_dim = chans[0] * 4
+        cdt = jnp.dtype(cfg.dtype)
+        # cast every input (incl. t and mask) so no fp32 promotion leaks back
+        # into the block stack when serving in bf16
+        x, mu, spks, cond, t, mask = (v.astype(cdt)
+                                      for v in (x, mu, spks, cond, t, mask))
         t_emb = sinusoidal_time_emb(t, cfg.in_channels)
         t_emb = TimestepEmbedding(time_dim, name="time_mlp")(t_emb)
 
@@ -288,7 +313,7 @@ class ConditionalDecoder(nn.Module):
                     h * m[..., None])
         h = Block1D(up_chans[-1], cfg.causal, name="final_block")(h, m)
         out = Conv1d(cfg.out_channels, 1, name="final_proj")(h * m[..., None])
-        return out * mask[..., None]
+        return (out * mask[..., None]).astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -552,9 +577,9 @@ def import_estimator_torch(state_dict, cfg: EstimatorConfig) -> dict:
     def tb(prefix):
         return {"norm1": _ln(sd, f"{prefix}.norm1"),
                 "norm3": _ln(sd, f"{prefix}.norm3"),
-                "to_q": _dense(sd, f"{prefix}.attn1.to_q", bias=False),
-                "to_k": _dense(sd, f"{prefix}.attn1.to_k", bias=False),
-                "to_v": _dense(sd, f"{prefix}.attn1.to_v", bias=False),
+                "to_q": _dense(sd, f"{prefix}.attn1.to_q", bias=False)["kernel"],
+                "to_k": _dense(sd, f"{prefix}.attn1.to_k", bias=False)["kernel"],
+                "to_v": _dense(sd, f"{prefix}.attn1.to_v", bias=False)["kernel"],
                 "to_out": _dense(sd, f"{prefix}.attn1.to_out.0"),
                 "ff_in": _dense(sd, f"{prefix}.ff.net.0.proj"),
                 "ff_out": _dense(sd, f"{prefix}.ff.net.2")}

@@ -195,3 +195,26 @@ def test_estimator_fused_attention_matches_naive(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out_fused[0]), np.asarray(out_naive[0]),
                                atol=2e-4, rtol=1e-3)
     assert np.isfinite(np.asarray(out_fused)).all()
+
+
+def test_estimator_bf16_serving_dtype(rng):
+    """dtype="bfloat16" (serving) tracks the fp32 estimator closely."""
+    import dataclasses
+
+    from cosyvoice_tpu.utils.dtype import to_bf16
+
+    cfg16 = dataclasses.replace(EST80, dtype="bfloat16")
+    B, T = 2, 12
+    x = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    mask = jnp.ones((B, T), np.float32)
+    spks = jnp.asarray(rng.standard_normal((B, 80)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    t = jnp.asarray([0.3, 0.8], np.float32)
+    params = ConditionalDecoder(EST80).init(jax.random.PRNGKey(0), x, mask, x,
+                                            t, spks, cond)
+    out32 = ConditionalDecoder(EST80).apply(params, x, mask, x, t, spks, cond)
+    out16 = ConditionalDecoder(cfg16).apply(to_bf16(params), x, mask, x, t,
+                                            spks, cond)
+    assert out16.dtype == jnp.float32  # output contract stays fp32
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               atol=0.05, rtol=0.1)
