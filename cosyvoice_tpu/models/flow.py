@@ -49,7 +49,9 @@ from cosyvoice_tpu.ops.masks import make_non_pad_mask
 def sinusoidal_time_emb(t: jax.Array, dim: int, scale: float = 1000.0) -> jax.Array:
     """[B] -> [B, dim]; Matcha SinusoidalPosEmb (components/decoder.py:12-27)."""
     half = dim // 2
-    freqs = jnp.exp(jnp.arange(half, dtype=t.dtype) * -(np.log(10000.0) / (half - 1)))
+    # python float (weak type) so bf16 t stays bf16 — a numpy scalar here
+    # silently upcasts the whole block stack to f32
+    freqs = jnp.exp(jnp.arange(half, dtype=t.dtype) * -(float(np.log(10000.0)) / (half - 1)))
     ang = scale * t[:, None] * freqs[None, :]
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
@@ -168,7 +170,7 @@ class DiTBlock(nn.Module):
         if pad_mask is not None:
             o = _flash_self_attention(q, k, v, pad_mask).reshape(B, T, inner)
         else:
-            scores = jnp.einsum("bihd,bjhd->bhij", q, k) / np.sqrt(self.head_dim)
+            scores = jnp.einsum("bihd,bjhd->bhij", q, k) / float(np.sqrt(self.head_dim))
             if attn_bias is not None:
                 scores = scores + attn_bias[:, None, :, :]
             attn = jax.nn.softmax(scores, axis=-1)
@@ -249,10 +251,12 @@ class ConditionalDecoder(nn.Module):
         cdt = jnp.dtype(cfg.dtype)
         # cast every input (incl. t and mask) so no fp32 promotion leaks back
         # into the block stack when serving in bf16
-        x, mu, spks, cond, t, mask = (v.astype(cdt)
-                                      for v in (x, mu, spks, cond, t, mask))
-        t_emb = sinusoidal_time_emb(t, cfg.in_channels)
-        t_emb = TimestepEmbedding(time_dim, name="time_mlp")(t_emb)
+        x, mu, spks, cond, mask = (v.astype(cdt)
+                                   for v in (x, mu, spks, cond, mask))
+        # sin/cos of angles up to `scale` rad — MUST stay fp32 (bf16 loses
+        # the angle to ~1 rad); cast only the bounded embedding afterwards
+        t_emb = sinusoidal_time_emb(t.astype(jnp.float32), cfg.in_channels)
+        t_emb = TimestepEmbedding(time_dim, name="time_mlp")(t_emb.astype(cdt))
 
         T = x.shape[1]
         spks_b = jnp.broadcast_to(spks[:, None, :], (x.shape[0], T, spks.shape[-1]))
