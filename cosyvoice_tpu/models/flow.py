@@ -258,6 +258,18 @@ class ConditionalDecoder(nn.Module):
         t_emb = sinusoidal_time_emb(t.astype(jnp.float32), cfg.in_channels)
         t_emb = TimestepEmbedding(time_dim, name="time_mlp")(t_emb.astype(cdt))
 
+        T_in = x.shape[1]
+        serving_fast = cfg.fused_attention and not (cfg.stream and streaming)
+        if serving_fast and T_in % 128 != 0:
+            # pad the time axis once to a lane-aligned length so every conv /
+            # flash call below works on aligned tiles with no per-block pads;
+            # the pad region carries mask 0 (exact under segment-id attention,
+            # same as padded batch rows).  Exit slices back to T_in.
+            Tp = ((T_in + 127) // 128) * 128
+            grow = ((0, 0), (0, Tp - T_in), (0, 0))
+            x, mu, cond = (jnp.pad(v, grow) for v in (x, mu, cond))
+            mask = jnp.pad(mask, ((0, 0), (0, Tp - T_in)))
+
         T = x.shape[1]
         spks_b = jnp.broadcast_to(spks[:, None, :], (x.shape[0], T, spks.shape[-1]))
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
@@ -317,7 +329,7 @@ class ConditionalDecoder(nn.Module):
                     h * m[..., None])
         h = Block1D(up_chans[-1], cfg.causal, name="final_block")(h, m)
         out = Conv1d(cfg.out_channels, 1, name="final_proj")(h * m[..., None])
-        return (out * mask[..., None]).astype(jnp.float32)
+        return (out * mask[..., None]).astype(jnp.float32)[:, :T_in]
 
 
 # --------------------------------------------------------------------------
