@@ -121,9 +121,16 @@ class CosyVoice2:
 
 
 def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
-                    max_decode_tokens: int = 800) -> CosyVoice2:
+                    max_decode_tokens: int = 800,
+                    fp16: bool = False) -> CosyVoice2:
     """Assemble CosyVoice2 from a reference checkpoint directory
-    (llm.pt / flow.pt / hift.pt + Qwen tokenizer assets)."""
+    (llm.pt / flow.pt / hift.pt + Qwen tokenizer assets).
+
+    fp16=True mirrors the reference's half-precision serving lever
+    (cli/cosyvoice.py:30, cli/model.py:43-45): on TPU that means bf16 LM
+    params + bf16 flow estimator with the fused-attention fast path.
+    """
+    import dataclasses
     import os
 
     import torch
@@ -140,14 +147,30 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
                           weights_only=True)
 
     lm_cfg, flow_cfg, hift_cfg = LMConfig(), FlowConfig(), HiFTConfig()
+    if fp16:
+        import jax
+
+        from cosyvoice_tpu.utils.dtype import to_bf16
+        flow_cfg = dataclasses.replace(flow_cfg, estimator=dataclasses.replace(
+            flow_cfg.estimator, dtype="bfloat16",
+            fused_attention=jax.default_backend() == "tpu"))
     llm = Qwen2LM(lm_cfg)
     flow = CausalMaskedDiffWithXvec(flow_cfg)
     hift = HiFTGenerator(hift_cfg)
     hift_sd = {k.removeprefix("generator."): v for k, v in load("hift.pt").items()}
+    llm_params = import_qwen2lm_torch(load("llm.pt"), lm_cfg)
+    flow_params = import_flow_torch(load("flow.pt"), flow_cfg)
+    if fp16:
+        llm_params = to_bf16(llm_params)
+        flow_params = dict(flow_params)
+        flow_params["params"] = dict(flow_params["params"])
+        flow_params["params"]["decoder"] = dict(flow_params["params"]["decoder"])
+        flow_params["params"]["decoder"]["estimator"] = to_bf16(
+            flow_params["params"]["decoder"]["estimator"])
     model = CosyVoice2Model(
         llm=llm, flow=flow, hift=hift,
-        llm_params=import_qwen2lm_torch(load("llm.pt"), lm_cfg),
-        flow_params=import_flow_torch(load("flow.pt"), flow_cfg),
+        llm_params=llm_params,
+        flow_params=flow_params,
         hift_params=import_hift_torch(hift_sd, hift_cfg),
         max_decode_tokens=max_decode_tokens)
     tok = QwenTokenizer(tokenizer_path or os.path.join(model_dir, "CosyVoice-BlankEN"))
