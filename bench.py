@@ -48,6 +48,10 @@ def main():
         flow_cfg = dataclasses.replace(
             flow_cfg, estimator=dataclasses.replace(
                 flow_cfg.estimator, fused_attention=True, dtype="bfloat16"))
+        # int8 weight-only LM: decode reads weights every step; int8 halves
+        # the HBM traffic bound (tokens track fp, test_lm_int8_decode_matches_fp)
+        lm_cfg = dataclasses.replace(
+            lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8"))
     llm, flow, hift = Qwen2LM(lm_cfg), CausalMaskedDiffWithXvec(flow_cfg), HiFTGenerator(hift_cfg)
 
     def zeros_of(init_fn, fill=0.0):

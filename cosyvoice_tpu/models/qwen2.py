@@ -41,6 +41,12 @@ class Qwen2Config:
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     dtype: jnp.dtype = jnp.float32
+    # weight-only quantization of the 7 per-layer projection matrices
+    # ("none" | "int8").  int8 halves decode HBM traffic (decode is
+    # weight-bandwidth-bound); per-output-channel scales, activations stay
+    # bf16/f32.  Params carry {kernel:int8, scale:f32} — produce them with
+    # utils.quant.quantize_qwen_int8 from an fp checkpoint.
+    quant: str = "none"
 
 
 class KVCache(NamedTuple):
@@ -56,6 +62,38 @@ class KVCache(NamedTuple):
         dt = dtype or cfg.dtype
         return KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt),
                        jnp.zeros((), jnp.int32))
+
+
+class QDense(nn.Module):
+    """Dense with optional int8 weight-only quantization.
+
+    Param paths match nn.Dense ("kernel"/"bias") so fp checkpoints import
+    unchanged; with quant="int8" the kernel is int8 plus a per-output-channel
+    "scale" (f32).  XLA fuses the int8->bf16 convert into the dot's operand
+    read, so HBM traffic is the int8 bytes.
+    """
+
+    features: int
+    use_bias: bool = True
+    quant: str = "none"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_f = x.shape[-1]
+        if self.quant == "int8":
+            k = self.param("kernel", nn.initializers.zeros_init(),
+                           (in_f, self.features), jnp.int8)
+            s = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+            y = jnp.dot(x, k.astype(x.dtype)) * s.astype(x.dtype)
+        else:
+            k = self.param("kernel", nn.initializers.lecun_normal(),
+                           (in_f, self.features))
+            y = jnp.dot(x, k.astype(x.dtype))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -96,9 +134,9 @@ class Qwen2Layer(nn.Module):
         B, T, _ = x.shape
         h = rms_norm(x, self.param("input_layernorm", nn.initializers.ones,
                                    (cfg.hidden_size,)), cfg.rms_norm_eps)
-        q = nn.Dense(H * HD, name="q_proj")(h).reshape(B, T, H, HD)
-        k = nn.Dense(KH * HD, name="k_proj")(h).reshape(B, T, KH, HD)
-        v = nn.Dense(KH * HD, name="v_proj")(h).reshape(B, T, KH, HD)
+        q = QDense(H * HD, quant=cfg.quant, name="q_proj")(h).reshape(B, T, H, HD)
+        k = QDense(KH * HD, quant=cfg.quant, name="k_proj")(h).reshape(B, T, KH, HD)
+        v = QDense(KH * HD, quant=cfg.quant, name="v_proj")(h).reshape(B, T, KH, HD)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -119,13 +157,13 @@ class Qwen2Layer(nn.Module):
         scores = scores + attn_bias[:, :, None, :, :]
         attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         o = jnp.einsum("bkgij,bjkd->bikgd", attn, v_all).reshape(B, T, H * HD)
-        x = x + nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(o)
+        x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, name="o_proj")(o)
 
         h = rms_norm(x, self.param("post_attention_layernorm", nn.initializers.ones,
                                    (cfg.hidden_size,)), cfg.rms_norm_eps)
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, name="gate_proj")(h)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, name="up_proj")(h)
-        x = x + nn.Dense(cfg.hidden_size, use_bias=False, name="down_proj")(
+        gate = QDense(cfg.intermediate_size, use_bias=False, quant=cfg.quant, name="gate_proj")(h)
+        up = QDense(cfg.intermediate_size, use_bias=False, quant=cfg.quant, name="up_proj")(h)
+        x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, name="down_proj")(
             jax.nn.silu(gate) * up)
         return x, new_cache
 

@@ -122,13 +122,15 @@ class CosyVoice2:
 
 def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
                     max_decode_tokens: int = 800,
-                    fp16: bool = False) -> CosyVoice2:
+                    fp16: bool = False, quant: str = "none") -> CosyVoice2:
     """Assemble CosyVoice2 from a reference checkpoint directory
     (llm.pt / flow.pt / hift.pt + Qwen tokenizer assets).
 
     fp16=True mirrors the reference's half-precision serving lever
     (cli/cosyvoice.py:30, cli/model.py:43-45): on TPU that means bf16 LM
     params + bf16 flow estimator with the fused-attention fast path.
+    quant="int8" additionally stores the LM projection weights int8
+    (weight-only, per-channel — utils/quant.py) to halve decode HBM traffic.
     """
     import dataclasses
     import os
@@ -154,6 +156,9 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         flow_cfg = dataclasses.replace(flow_cfg, estimator=dataclasses.replace(
             flow_cfg.estimator, dtype="bfloat16",
             fused_attention=jax.default_backend() == "tpu"))
+    if quant == "int8":
+        lm_cfg = dataclasses.replace(
+            lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8"))
     llm = Qwen2LM(lm_cfg)
     flow = CausalMaskedDiffWithXvec(flow_cfg)
     hift = HiFTGenerator(hift_cfg)
@@ -162,6 +167,9 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
     flow_params = import_flow_torch(load("flow.pt"), flow_cfg)
     if fp16:
         llm_params = to_bf16(llm_params)
+    if quant == "int8":  # after the bf16 cast so scales stay f32
+        from cosyvoice_tpu.utils.quant import quantize_qwen_int8
+        llm_params = quantize_qwen_int8(llm_params)
         flow_params = dict(flow_params)
         flow_params["params"] = dict(flow_params["params"])
         flow_params["params"]["decoder"] = dict(flow_params["params"]["decoder"])

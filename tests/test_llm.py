@@ -213,3 +213,43 @@ def test_chunked_stream_decode_matches_one_shot(rng):
                                 prefix_len=12, cache_len=64, max_steps=32)
     np.testing.assert_array_equal(np.asarray(state.gen.out), np.asarray(out))
     assert int(state.gen.count[0]) == int(cnt[0])
+
+
+def test_lm_int8_decode_matches_fp(rng):
+    """int8 weight-only LM: greedy tokens track the fp model on random
+    weights (per-channel symmetric quant; decode is the weight-HBM-bound
+    path this exists for)."""
+    import dataclasses
+
+    from cosyvoice_tpu.utils.quant import quantize_qwen_int8
+
+    S = 20
+    cfg = LMConfig(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
+                   speech_token_size=S, qwen=TINY,
+                   sampling=SamplingConfig(method="greedy"))
+    model = Qwen2LM(cfg)
+    text = jnp.asarray(rng.integers(0, TINY.vocab_size, (1, 6)))
+    params = model.init(jax.random.PRNGKey(0), text, jnp.asarray([6]),
+                        text, jnp.asarray([6]))
+    psp = jnp.asarray(rng.integers(0, S, (1, 4)))
+    args = (text, jnp.asarray([6]), psp, jnp.asarray([4]),
+            jnp.asarray([4]), jnp.asarray([12]), jax.random.PRNGKey(0))
+    out_fp, cnt_fp = lm_generate(model, params, *args, max_steps=16, cache_len=64)
+
+    qcfg = dataclasses.replace(cfg, qwen=dataclasses.replace(TINY, quant="int8"))
+    qmodel = Qwen2LM(qcfg)
+    qparams = quantize_qwen_int8(params)
+    out_q, cnt_q = lm_generate(qmodel, qparams, *args, max_steps=16, cache_len=64)
+    n = min(int(cnt_fp[0]), int(cnt_q[0]))
+    agree = (np.asarray(out_fp[0][:n]) == np.asarray(out_q[0][:n])).mean()
+    assert agree >= 0.75, (agree, np.asarray(out_fp[0][:n]), np.asarray(out_q[0][:n]))
+
+
+def test_qdense_int8_quant_error_small(rng):
+    from cosyvoice_tpu.utils.quant import quantize_kernel_int8
+
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    q = quantize_kernel_int8(w)
+    deq = np.asarray(q["kernel"], np.float32) * np.asarray(q["scale"])[None, :]
+    err = np.abs(deq - w).max() / np.abs(w).max()
+    assert err < 0.01
