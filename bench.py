@@ -139,7 +139,8 @@ def main():
     value = results[best_b]
     print(json.dumps({
         "metric": (f"full text->wav audio-seconds/s per chip "
-                   f"(bf16 LM, B={best_b} serving; 1-stream {results[1]:.1f}x)"),
+                   f"(int8 LM, bf16 flow, B={best_b} serving; "
+                   f"1-stream {results[1]:.1f}x)"),
         "value": round(value, 2), "unit": "audio_s/s",
         "vs_baseline": round(value / 50.0, 3)}))
 

@@ -113,7 +113,14 @@ def _flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                                                  SegmentIds,
                                                                  flash_attention)
 
+    from cosyvoice_tpu.ops.pallas.dit_attention import dit_attention, supports
+
     B, T, H, D = q.shape
+    if supports(T, H, D):
+        # specialized whole-row kernel in the model's own [B, T, H, D]
+        # layout — no transpose copies around the custom call
+        lens = jnp.sum((pad_mask > 0).astype(jnp.int32), axis=1)
+        return dit_attention(q, k, v, lens, 1.0 / float(np.sqrt(D)))
     Tp = ((T + 127) // 128) * 128
     pad = ((0, 0), (0, Tp - T), (0, 0), (0, 0))
     qt = jnp.pad(q, pad).transpose(0, 2, 1, 3)      # [B, H, Tp, D]

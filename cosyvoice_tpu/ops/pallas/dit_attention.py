@@ -1,0 +1,97 @@
+"""Query-chunked full self-attention Pallas kernel for the CFM estimator.
+
+Shape regime (flow/decoder.py DiT blocks at serving): T ~ 1.1k mel frames,
+H=8 heads, D=64, full (non-causal) attention with a prefix-valid pad mask.
+The stock TPU flash kernel wants [B, H, T, D], which costs three input
+transposes plus one output transpose per block in XLA (they show up as
+"data formatting" copies around the custom call).  This kernel reads the
+model's natural [B, T, H*D] layout directly: each grid cell covers one batch
+row, a 128-lane group of heads (two D=64 heads, satisfying Mosaic's (8,128)
+block tiling), and a chunk of queries.  Keys/values stay whole-row, so the
+softmax is single-pass and EXACT — no online rescaling; chunking queries
+only bounds the fp32 score tile's VMEM footprint.
+
+Per cell and head:  S = q_chunk k^T (fp32 accum) + pad-bias row -> softmax
+-> (P@V)/l.  Forward-only: training uses the reference-faithful XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *,
+            sm_scale: float, heads_per_blk: int, head_dim: int):
+    b = pl.program_id(0)
+    L = lens_ref[b]
+    T = k_ref.shape[1]
+    # pad-key mask as a [1, T] bias row (broadcasts over queries) — a full
+    # [Tq, T] iota would burn VMEM for nothing
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    bias = jnp.where(jrow < L, 0.0, -1e9).astype(jnp.float32)
+    for i in range(heads_per_blk):  # static unroll over the head group
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        s = s + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def _q_chunk(T: int, itemsize: int) -> int:
+    """Largest 128-multiple divisor of T whose fp32 score tile (~3 live
+    [Tq, T] temps) stays within ~6 MB."""
+    budget = 6 * 1024 * 1024
+    for tq in (1024, 896, 768, 640, 512, 384, 256, 128):
+        if T % tq == 0 and tq * T * 4 * 3 <= budget:
+            return tq
+    return 128 if T % 128 == 0 else 0
+
+
+def dit_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  lengths: jax.Array, sm_scale: float,
+                  interpret: bool = False) -> jax.Array:
+    """q/k/v [B, T, H, D] -> o [B, T, H, D]; requires supports(T, H, D).
+
+    lengths [B] int32: keys at j >= lengths[b] are excluded for every query
+    (prefix-valid padding); pad-row queries produce garbage the caller masks.
+    """
+    B, T, H, D = q.shape
+    HD = H * D
+    heads_per_blk = max(128 // D, 1)
+    GD = heads_per_blk * D
+    Tq = _q_chunk(T, q.dtype.itemsize)
+    assert Tq and HD % GD == 0, (T, H, D)
+    lengths = lengths.astype(jnp.int32)
+    qf, kf, vf = (x.reshape(B, T, HD) for x in (q, k, v))
+    qspec = pl.BlockSpec((1, Tq, GD), lambda b, g, t, lens: (b, t, g))
+    kvspec = pl.BlockSpec((1, T, GD), lambda b, g, t, lens: (b, 0, g))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, HD // GD, T // Tq),
+        in_specs=[qspec, kvspec, kvspec], out_specs=qspec)
+    out = pl.pallas_call(
+        functools.partial(_kernel, sm_scale=sm_scale,
+                          heads_per_blk=heads_per_blk, head_dim=D),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), q.dtype),
+        interpret=interpret,
+    )(lengths, qf, kf, vf)
+    return out.reshape(B, T, H, D)
+
+
+def supports(T: int, H: int, D: int) -> bool:
+    """Shape eligibility: lane-groupable heads and an aligned, chunkable T."""
+    return (T % 128 == 0 and D <= 128 and 128 % D == 0
+            and (H * D) % 128 == 0 and _q_chunk(T, 4) > 0
+            and T * 128 * 2 * 3 <= 4 * 1024 * 1024)  # whole-row k/v resident

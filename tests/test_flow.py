@@ -218,3 +218,33 @@ def test_estimator_bf16_serving_dtype(rng):
     assert out16.dtype == jnp.float32  # output contract stays fp32
     np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
                                atol=0.05, rtol=0.1)
+
+
+def test_estimator_fused_dit_kernel_matches_naive(rng, monkeypatch):
+    """Same as above but with head_dim 64 so the dit_attention whole-row
+    kernel path (ops/pallas/dit_attention.py) is taken, not stock flash."""
+    from jax.experimental import pallas as pl
+    import dataclasses
+
+    from cosyvoice_tpu.ops.pallas.dit_attention import supports
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **dict(k, interpret=True)))
+    cfg = dataclasses.replace(EST80, num_heads=2, attention_head_dim=64)
+    assert supports(128, cfg.num_heads, cfg.attention_head_dim)
+    cfg_fused = dataclasses.replace(cfg, fused_attention=True)
+    B, T = 2, 12
+    x = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    mu = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((B, 80)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
+    mask = jnp.asarray(np.ones((B, T), np.float32))
+    t = jnp.asarray([0.3, 0.8], np.float32)
+    params = ConditionalDecoder(cfg).init(jax.random.PRNGKey(0), x, mask, mu,
+                                          t, spks, cond)
+    out_naive = ConditionalDecoder(cfg).apply(params, x, mask, mu, t, spks, cond)
+    out_fused = ConditionalDecoder(cfg_fused).apply(params, x, mask, mu, t,
+                                                    spks, cond)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_naive),
+                               atol=2e-4, rtol=1e-3)
