@@ -52,6 +52,7 @@ def main():
         # the HBM traffic bound (tokens track fp, test_lm_int8_decode_matches_fp)
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8"))
+        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16")
     llm, flow, hift = Qwen2LM(lm_cfg), CausalMaskedDiffWithXvec(flow_cfg), HiFTGenerator(hift_cfg)
 
     def zeros_of(init_fn, fill=0.0):
@@ -77,6 +78,8 @@ def main():
             flow_params["params"]["decoder"]["estimator"])
     hift_params = zeros_of(lambda: hift.init(
         {"params": k, "noise": k}, jnp.zeros((1, 20, 80))), fill=0.01)
+    if on_tpu:
+        hift_params = to_bf16(hift_params)
 
     @jax.jit
     def flow_infer(params, token, token_len, prompt_feat, emb):

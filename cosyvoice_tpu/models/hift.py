@@ -54,6 +54,11 @@ class HiFTConfig:
     lrelu_slope: float = 0.1
     audio_limit: float = 0.99
     f0_cond_channels: int = 512
+    # serving compute dtype for the conv stack ("float32" | "bfloat16");
+    # f0/sine-source phase (cumsum) and the iSTFT head stay fp32.  Caller
+    # casts params (utils.dtype.to_bf16).  Mirrors the reference's fp16
+    # serving (cli/model.py:43-45).
+    dtype: str = "float32"
 
     @property
     def upsample_scale(self) -> int:
@@ -191,11 +196,14 @@ class HiFTGenerator(nn.Module):
         """Deterministic synthesis from mel [B,T,80] + source s [B,L,1]."""
         cfg = self.cfg
         n_fft, hop = cfg.istft_n_fft, cfg.istft_hop_len
-        win = hann_window(n_fft, mel.dtype)
-        s_re, s_im = stft(s[..., 0], n_fft, hop, win, center=True)
+        cdt = jnp.dtype(cfg.dtype)
+        win = hann_window(n_fft, jnp.float32)
+        s_re, s_im = stft(s[..., 0].astype(jnp.float32), n_fft, hop, win,
+                          center=True)
         s_stft = jnp.concatenate([s_re, s_im], axis=1).swapaxes(1, 2)  # [B, T', 18]
+        s_stft = s_stft.astype(cdt)
 
-        x = self.conv_pre(mel)
+        x = self.conv_pre(mel.astype(cdt))
         nk = len(cfg.resblock_kernel_sizes)
         for i in range(len(self.ups)):
             x = jax.nn.leaky_relu(x, cfg.lrelu_slope)
@@ -210,7 +218,7 @@ class HiFTGenerator(nn.Module):
                 xs = xs + self.resblocks[i * nk + j](x)
             x = xs / nk
         x = jax.nn.leaky_relu(x, 0.01)  # torch default slope here, not lrelu_slope
-        x = self.conv_post(x)
+        x = self.conv_post(x).astype(jnp.float32)  # mag/phase + iSTFT in fp32
         nb = n_fft // 2 + 1
         mag = jnp.minimum(jnp.exp(x[..., :nb]), 1e2)
         phase = jnp.sin(x[..., nb:])

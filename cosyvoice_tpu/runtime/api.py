@@ -156,6 +156,7 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         flow_cfg = dataclasses.replace(flow_cfg, estimator=dataclasses.replace(
             flow_cfg.estimator, dtype="bfloat16",
             fused_attention=jax.default_backend() == "tpu"))
+        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16")
     if quant == "int8":
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8"))
@@ -175,11 +176,14 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         flow_params["params"]["decoder"] = dict(flow_params["params"]["decoder"])
         flow_params["params"]["decoder"]["estimator"] = to_bf16(
             flow_params["params"]["decoder"]["estimator"])
+    hift_params = import_hift_torch(hift_sd, hift_cfg)
+    if fp16:
+        hift_params = to_bf16(hift_params)
     model = CosyVoice2Model(
         llm=llm, flow=flow, hift=hift,
         llm_params=llm_params,
         flow_params=flow_params,
-        hift_params=import_hift_torch(hift_sd, hift_cfg),
+        hift_params=hift_params,
         max_decode_tokens=max_decode_tokens)
     tok = QwenTokenizer(tokenizer_path or os.path.join(model_dir, "CosyVoice-BlankEN"))
     spk2info = {}

@@ -165,3 +165,27 @@ def test_hift_streaming_cache_source(rng, monkeypatch):
                            jnp.asarray(cache.transpose(0, 2, 1)),
                            method=HiFTGenerator.inference)
     np.testing.assert_allclose(np.asarray(wav_j), wav_t.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_hift_bf16_serving_dtype(rng):
+    """dtype="bfloat16" conv stack tracks the fp32 vocoder closely (the
+    f0/source phase path and iSTFT head stay fp32 by design)."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+    from cosyvoice_tpu.utils.dtype import to_bf16
+
+    cfg = HiFTConfig(base_channels=32, f0_cond_channels=16)
+    mel = jnp.asarray((rng.standard_normal((1, 24, 80)) * 0.5).astype(np.float32))
+    model = HiFTGenerator(cfg, deterministic=True)
+    params = model.init({"params": jax.random.PRNGKey(0)}, mel)
+    wav32, _ = model.apply(params, mel, method=HiFTGenerator.inference)
+    m16 = HiFTGenerator(dataclasses.replace(cfg, dtype="bfloat16"),
+                        deterministic=True)
+    wav16, _ = m16.apply(to_bf16(params), mel, method=HiFTGenerator.inference)
+    assert wav16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(wav16)).all()
+    # waveform-level closeness: bf16 convs under tanh-ish dynamics
+    err = np.abs(np.asarray(wav16) - np.asarray(wav32)).mean()
+    ref = np.abs(np.asarray(wav32)).mean() + 1e-6
+    assert err / ref < 0.2, (err, ref)
