@@ -50,7 +50,10 @@ class Qwen2Config:
 
 
 class KVCache(NamedTuple):
-    """Preallocated per-layer KV: k/v [L, B, T_max, kvH, D], filled length in `pos`."""
+    """Preallocated per-layer KV: k/v [L, B, kvH, T_max, D], filled length in
+    `pos`.  Head-major so the decode attention's batch dims (b, kv-head) lead
+    — with heads between T and D, XLA re-transposes the ENTIRE cache every
+    step (a whole-cache copy per layer: the dominant linear-in-B decode cost)."""
 
     k: jax.Array
     v: jax.Array
@@ -58,7 +61,7 @@ class KVCache(NamedTuple):
 
     @staticmethod
     def create(cfg: Qwen2Config, batch: int, max_len: int, dtype=None) -> "KVCache":
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
         dt = dtype or cfg.dtype
         return KVCache(jnp.zeros(shape, dt), jnp.zeros(shape, dt),
                        jnp.zeros((), jnp.int32))
@@ -140,23 +143,26 @@ class Qwen2Layer(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        # head-major [B, KH, T, D] so the attention batch dims lead (see KVCache)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
         if layer_cache is not None:
             ck, cv = layer_cache
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+            ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, cache_pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), (0, 0, cache_pos, 0))
             k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
             new_cache = (ck, cv)
         else:
-            k_all, v_all = k, v
+            k_all, v_all = kt, vt
             new_cache = None
 
         g = H // KH  # query groups per kv head
         qg = q.reshape(B, T, KH, g, HD)
-        scores = jnp.einsum("bikgd,bjkd->bkgij", qg, k_all,
+        scores = jnp.einsum("bikgd,bkjd->bkgij", qg, k_all,
                             preferred_element_type=jnp.float32) / np.sqrt(HD)
         scores = scores + attn_bias[:, :, None, :, :]
         attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bkgij,bjkd->bikgd", attn, v_all).reshape(B, T, H * HD)
+        o = jnp.einsum("bkgij,bkjd->bikgd", attn, v_all).reshape(B, T, H * HD)
         x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, name="o_proj")(o)
 
         h = rms_norm(x, self.param("post_attention_layernorm", nn.initializers.ones,

@@ -266,3 +266,41 @@ def test_msd_discriminator(tiny_stack):
     rs, gs, fr, fg = d.apply(params, y, y * 0.5)
     assert len(rs) == 3 and len(fr) == 3
     assert all(np.isfinite(np.asarray(r)).all() for r in rs)
+
+
+def test_nonstream_tts_fp16_int8_levers(tiny_stack):
+    """E2E through the orchestrator with the serving levers on: bf16 flow
+    estimator + vocoder conv stack, int8 LM (fused attention is TPU-gated
+    and stays off on CPU)."""
+    import dataclasses
+
+    from cosyvoice_tpu.utils.dtype import to_bf16
+    from cosyvoice_tpu.utils.quant import quantize_qwen_int8
+
+    m = tiny_stack
+    lm_cfg = dataclasses.replace(
+        m.llm.cfg, qwen=dataclasses.replace(m.llm.cfg.qwen, quant="int8"))
+    flow_cfg = dataclasses.replace(
+        m.flow.cfg, estimator=dataclasses.replace(m.flow.cfg.estimator,
+                                                  dtype="bfloat16"))
+    hift_cfg = dataclasses.replace(m.hift.cfg, dtype="bfloat16")
+    fp = dict(m.flow_params)
+    fp["params"] = dict(fp["params"])
+    fp["params"]["decoder"] = dict(fp["params"]["decoder"])
+    fp["params"]["decoder"]["estimator"] = to_bf16(
+        fp["params"]["decoder"]["estimator"])
+    m2 = CosyVoice2Model(
+        llm=Qwen2LM(lm_cfg), flow=CausalMaskedDiffWithXvec(flow_cfg),
+        hift=HiFTGenerator(hift_cfg),
+        llm_params=quantize_qwen_int8(to_bf16(m.llm_params)),
+        flow_params=fp, hift_params=to_bf16(m.hift_params),
+        max_decode_tokens=96)
+    text = np.arange(20, dtype=np.int32) % 250
+    out = list(m2.tts(text_tokens=text, prompt_text_len=0,
+                      llm_prompt_speech_token=np.zeros(0, np.int32),
+                      flow_prompt_speech_token=np.zeros(0, np.int32),
+                      prompt_speech_feat=np.zeros((0, N_MEL), np.float32),
+                      flow_embedding=np.ones(24, np.float32),
+                      stream=False, rng=jax.random.PRNGKey(7)))
+    wav = out[0]["tts_speech"]
+    assert wav.shape[0] > 0 and np.isfinite(wav).all()
