@@ -49,16 +49,29 @@ class Executor:
     step: int = 0
     epoch: int = 0
 
+    tensorboard_dir: Optional[str] = None  # rank-0 SummaryWriter like the
+    # reference (train_utils.py:199-204); optional — JSONL is the primary sink
+
     def __post_init__(self):
         os.makedirs(self.model_dir, exist_ok=True)
         self.metrics_path = self.metrics_path or os.path.join(
             self.model_dir, "metrics.jsonl")
+        self._tb = None
+        if self.tensorboard_dir:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(self.tensorboard_dir)
+            except ImportError:
+                logger.warning("tensorboardX unavailable; JSONL metrics only")
 
     def _log(self, tag: str, metrics: dict):
         rec = {"tag": tag, "epoch": self.epoch, "step": self.step,
                **{k: float(v) for k, v in metrics.items()}}
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{tag}/{k}", float(v), self.step)
         if tag == "CV" or self.step % self.log_interval == 0:
             logger.info("%s %s", tag, rec)
 

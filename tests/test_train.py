@@ -115,3 +115,16 @@ def test_checkpoint_averaging(tmp_path):
     save_checkpoint(str(tmp_path / "c"), s2, 2)
     avg = average_checkpoints(str(tmp_path / "c"), s1, last_n=2)
     np.testing.assert_allclose(np.asarray(avg["w"]), np.full(3, 2.0))
+
+
+def test_executor_tensorboard_writer(tmp_path):
+    """Optional TensorBoard sink mirrors JSONL metrics (train_utils.py:199)."""
+    from cosyvoice_tpu.train.executor import Executor
+
+    ex = Executor(train_step=lambda s, b, r: (s, {"loss": 1.0}),
+                  model_dir=str(tmp_path), tensorboard_dir=str(tmp_path / "tb"))
+    ex._log("TRAIN", {"loss": 0.5, "lr": 1e-4})
+    assert (tmp_path / "metrics.jsonl").exists()
+    if ex._tb is not None:
+        ex._tb.flush()
+        assert any((tmp_path / "tb").iterdir())
