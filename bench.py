@@ -46,8 +46,10 @@ def main():
         # (the reference serves flow in fp16, cli/model.py:43-45)
         import dataclasses
         flow_cfg = dataclasses.replace(
-            flow_cfg, estimator=dataclasses.replace(
-                flow_cfg.estimator, fused_attention=True, dtype="bfloat16"))
+            flow_cfg, encoder_dtype="bfloat16",
+            estimator=dataclasses.replace(
+                flow_cfg.estimator, fused_attention=True, dtype="bfloat16",
+                approx_gelu=True))
         # int8 weight-only LM: decode reads weights every step; int8 halves
         # the HBM traffic bound (tokens track fp, test_lm_int8_decode_matches_fp)
         lm_cfg = dataclasses.replace(
@@ -76,6 +78,7 @@ def main():
         flow_params["params"]["decoder"] = dict(flow_params["params"]["decoder"])
         flow_params["params"]["decoder"]["estimator"] = to_bf16(
             flow_params["params"]["decoder"]["estimator"])
+        flow_params["params"]["encoder"] = to_bf16(flow_params["params"]["encoder"])
     hift_params = zeros_of(lambda: hift.init(
         {"params": k, "noise": k}, jnp.zeros((1, 20, 80))), fill=0.01)
     if on_tpu:

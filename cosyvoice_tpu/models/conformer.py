@@ -50,11 +50,27 @@ def espnet_rel_pos_emb(T: int, d: int, dtype=jnp.float32) -> jax.Array:
 
 
 def rel_shift(x: jax.Array) -> jax.Array:
-    """[B, H, T, 2T-1] -> [B, H, T, T]: out[..., i, j] = x[..., i, T-1-i+j]."""
+    """[B, H, T, 2T-1] -> [B, H, T, T]: out[..., i, j] = x[..., i, T-1-i+j].
+
+    The pad/reshape/slice skew trick (`transformer/attention.py:225-247`).
+    NOTE: a per-element gather formulation is catastrophically slow on TPU
+    (scalar gather, ~100x worse) — keep the skew.  Callers on the hot path
+    should prefer `rel_shift_prepadded` (pad folded into the bd matmul)."""
     B, H, T, L = x.shape
     x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    x = x.reshape(B, H, L + 1, T)[:, :, 1:].reshape(B, H, T, L)
-    return x[..., : (L + 1) // 2]
+    return rel_shift_prepadded(x)[..., : (L + 1) // 2]
+
+
+def rel_shift_prepadded(x: jax.Array) -> jax.Array:
+    """Skew for an already left-padded [B, H, T, 2T] input: returns
+    [B, H, T, 2T-1] with out[..., i, j] = x[..., i, T-i+j].
+
+    Separated so the zero pad column can be folded into the producing
+    matmul (one extra zero row on the rel-pos table) instead of costing a
+    GB-scale pad pass on the [B, H, T, 2T-1] score tensor."""
+    B, H, T, L1 = x.shape
+    x = x.reshape(B, H, L1, T)[:, :, 1:].reshape(B, H, T, L1 - 1)
+    return x
 
 
 class RelPositionAttention(nn.Module):
@@ -98,10 +114,16 @@ class RelPositionAttention(nn.Module):
         p = p.reshape(pos_emb.shape[0], -1, H, D)
 
         ac = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_u, k)
-        bd = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_v, p)
-        if bd.shape != ac.shape:
-            bd = rel_shift(bd)[..., :Tk]
-        scores = (ac + bd) / np.sqrt(D)
+        if p.shape[1] == 2 * Tq - 1:
+            # espnet full-table rel-pos: fold rel_shift's zero pad column
+            # into the (tiny) projected table so the skew needs no pad pass
+            # over the [B, H, Tq, 2Tq] score tensor
+            p = jnp.pad(p, ((0, 0), (1, 0), (0, 0), (0, 0)))
+            bd = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_v, p)
+            bd = rel_shift_prepadded(bd)[..., :Tk]
+        else:
+            bd = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_v, p)
+        scores = (ac + bd) / float(np.sqrt(D))
         if mask is not None:
             m = mask[:, None, :, :]  # [B, 1, 1|Tq, Tk]
             scores = jnp.where(m, scores, NEG_INF)
@@ -134,7 +156,7 @@ class RelPositionAttention(nn.Module):
         bd_full = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_v, p)
         # slot j <-> table index (Tmax-1) - pos + j
         bd = jax.lax.dynamic_slice_in_dim(bd_full, Tmax - 1 - pos, Tmax, axis=3)
-        scores = (ac + bd) / np.sqrt(D)
+        scores = (ac + bd) / float(np.sqrt(D))
         scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhij,bjhd->bihd", attn, layer_v).reshape(B, 1, self.dim)
@@ -298,7 +320,7 @@ class LinearEmbed(nn.Module):
             x = nn.Dropout(self.dropout_rate, deterministic=False)(x)
         if self.legacy:
             x = jax.nn.relu(x)
-        return x * np.sqrt(self.dim)
+        return x * float(np.sqrt(self.dim))
 
 
 class ConformerEncoder(nn.Module):

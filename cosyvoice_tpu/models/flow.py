@@ -156,6 +156,7 @@ class DiTBlock(nn.Module):
     heads: int
     head_dim: int
     ff_mult: int = 4
+    approx_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array],
@@ -185,7 +186,7 @@ class DiTBlock(nn.Module):
         x = x + nn.Dense(self.dim, name="to_out")(o)
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         h = nn.Dense(self.dim * self.ff_mult, name="ff_in")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = jax.nn.gelu(h, approximate=self.approx_gelu)
         x = x + nn.Dense(self.dim, name="ff_out")(h)
         return x
 
@@ -216,6 +217,10 @@ class EstimatorConfig:
     # The reference serves the whole flow stack in fp16 (cli/model.py:43-45);
     # bf16 on TPU is strictly wider-ranged.  Output is always fp32.
     dtype: str = "float32"
+    # serving: tanh-approximate gelu in the DiT FFN.  Exact gelu's erf is
+    # VPU-bound at serving shapes (~1/6 of estimator time); the tanh form
+    # differs by <2e-3 absolute on bf16 activations.
+    approx_gelu: bool = False
 
 
 class Downsample1D(nn.Module):
@@ -303,6 +308,7 @@ class ConditionalDecoder(nn.Module):
             h = ResnetBlock1D(ch, cfg.causal, name=f"{name}_resnet")(h, m, t_emb)
             for j in range(cfg.n_blocks):
                 h = DiTBlock(ch, cfg.num_heads, cfg.attention_head_dim,
+                             approx_gelu=cfg.approx_gelu,
                              name=f"{name}_tb_{j}")(h, attn_bias, pm)
             return h
 
@@ -458,6 +464,14 @@ class FlowConfig:
         static_chunk_size=50))
     cfm: CFMConfig = field(default_factory=CFMConfig)
     estimator: EstimatorConfig = field(default_factory=EstimatorConfig)
+    # serving compute dtype for the token->mu conformer encoder ("float32" |
+    # "bfloat16").  The rel-pos attention materializes [B, H, T, 2T-1] score
+    # tensors (espnet matrix_bd) — at serving shapes that is HBM-bound, so
+    # bf16 halves the dominant traffic.  With "bfloat16" the caller should
+    # also cast the `encoder` params subtree (utils.dtype.to_bf16); the
+    # embedding and output projection stay fp32, and mu is returned fp32.
+    # The reference serves the whole flow stack in fp16 (cli/model.py:43-45).
+    encoder_dtype: str = "float32"
 
 
 class CausalMaskedDiffWithXvec(nn.Module):
@@ -479,6 +493,7 @@ class CausalMaskedDiffWithXvec(nn.Module):
                 finalize=True):
         mask = make_non_pad_mask(token_len, token.shape[1])
         emb = self.input_embedding(jnp.maximum(token, 0)) * mask[..., None]
+        emb = emb.astype(jnp.dtype(self.cfg.encoder_dtype))
         if not finalize:
             # stream chunks keep the last pre_lookahead tokens as real
             # lookahead context instead of the zero pad
@@ -490,7 +505,7 @@ class CausalMaskedDiffWithXvec(nn.Module):
         else:
             h, pad2 = self.encoder(emb, token_len, streaming=streaming,
                                    deterministic=deterministic)
-        return self.encoder_proj(h), pad2
+        return self.encoder_proj(h.astype(jnp.float32)), pad2
 
     def inference(self, token, token_len, prompt_feat, embedding,
                   n_timesteps: int = 10, noise: Optional[jax.Array] = None,

@@ -153,8 +153,9 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         import jax
 
         from cosyvoice_tpu.utils.dtype import to_bf16
-        flow_cfg = dataclasses.replace(flow_cfg, estimator=dataclasses.replace(
-            flow_cfg.estimator, dtype="bfloat16",
+        flow_cfg = dataclasses.replace(flow_cfg, encoder_dtype="bfloat16",
+                                       estimator=dataclasses.replace(
+            flow_cfg.estimator, dtype="bfloat16", approx_gelu=True,
             fused_attention=jax.default_backend() == "tpu"))
         hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16")
     if quant == "int8":
@@ -168,14 +169,19 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
     flow_params = import_flow_torch(load("flow.pt"), flow_cfg)
     if fp16:
         llm_params = to_bf16(llm_params)
-    if quant == "int8":  # after the bf16 cast so scales stay f32
-        from cosyvoice_tpu.utils.quant import quantize_qwen_int8
-        llm_params = quantize_qwen_int8(llm_params)
+        # serving-dtype param subtrees matching the config knobs above: the
+        # estimator and the conformer encoder run bf16; the token embedding,
+        # projections, and CFM bookkeeping stay fp32
         flow_params = dict(flow_params)
         flow_params["params"] = dict(flow_params["params"])
         flow_params["params"]["decoder"] = dict(flow_params["params"]["decoder"])
         flow_params["params"]["decoder"]["estimator"] = to_bf16(
             flow_params["params"]["decoder"]["estimator"])
+        flow_params["params"]["encoder"] = to_bf16(
+            flow_params["params"]["encoder"])
+    if quant == "int8":  # after the bf16 cast so scales stay f32
+        from cosyvoice_tpu.utils.quant import quantize_qwen_int8
+        llm_params = quantize_qwen_int8(llm_params)
     hift_params = import_hift_torch(hift_sd, hift_cfg)
     if fp16:
         hift_params = to_bf16(hift_params)

@@ -203,7 +203,7 @@ def test_estimator_bf16_serving_dtype(rng):
 
     from cosyvoice_tpu.utils.dtype import to_bf16
 
-    cfg16 = dataclasses.replace(EST80, dtype="bfloat16")
+    cfg16 = dataclasses.replace(EST80, dtype="bfloat16", approx_gelu=True)
     B, T = 2, 12
     x = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
     mask = jnp.ones((B, T), np.float32)
@@ -248,3 +248,39 @@ def test_estimator_fused_dit_kernel_matches_naive(rng, monkeypatch):
                                                     spks, cond)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_naive),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_flow_encoder_bf16_serving_dtype(rng):
+    """encoder_dtype="bfloat16" (serving lever: halves the HBM traffic of the
+    rel-pos [B, H, T, 2T-1] score tensors) tracks the fp32 flow closely and
+    keeps the fp32 mu output contract."""
+    import dataclasses
+
+    from cosyvoice_tpu.utils.dtype import to_bf16
+
+    enc_cfg = ConformerConfig(dim=512, heads=8, linear_units=64, num_blocks=1,
+                              dropout_rate=0.0, attention_dropout_rate=0.0,
+                              input_size=512, static_chunk_size=50)
+    cfg = FlowConfig(vocab_size=50, encoder=enc_cfg, estimator=EST80)
+    Tp, Tg = 4, 8
+    token = jnp.asarray(rng.integers(0, 50, (1, Tp + Tg)))
+    tl = jnp.asarray([Tp + Tg])
+    prompt_feat = jnp.asarray(rng.standard_normal((1, 2 * Tp, 80)).astype(np.float32) * 0.3)
+    emb = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
+    model = CausalMaskedDiffWithXvec(cfg)
+    params = model.init(jax.random.PRNGKey(0), token, tl, prompt_feat, emb,
+                        method=CausalMaskedDiffWithXvec.inference)
+    mel32 = model.apply(params, token, tl, prompt_feat, emb,
+                        method=CausalMaskedDiffWithXvec.inference)
+    m16 = CausalMaskedDiffWithXvec(
+        dataclasses.replace(cfg, encoder_dtype="bfloat16"))
+    p16 = dict(params)
+    p16["params"] = dict(p16["params"])
+    p16["params"]["encoder"] = to_bf16(p16["params"]["encoder"])
+    mel16 = m16.apply(p16, token, tl, prompt_feat, emb,
+                      method=CausalMaskedDiffWithXvec.inference)
+    assert mel16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(mel16)).all()
+    err = np.abs(np.asarray(mel16) - np.asarray(mel32)).mean()
+    ref = np.abs(np.asarray(mel32)).mean() + 1e-6
+    assert err / ref < 0.1, (err, ref)
