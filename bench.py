@@ -54,7 +54,7 @@ def main():
         # the HBM traffic bound (tokens track fp, test_lm_int8_decode_matches_fp)
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8"))
-        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16")
+        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16", approx_sin=True)
     llm, flow, hift = Qwen2LM(lm_cfg), CausalMaskedDiffWithXvec(flow_cfg), HiFTGenerator(hift_cfg)
 
     def zeros_of(init_fn, fill=0.0):

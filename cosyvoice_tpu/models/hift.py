@@ -59,6 +59,10 @@ class HiFTConfig:
     # casts params (utils.dtype.to_bf16).  Mirrors the reference's fp16
     # serving (cli/model.py:43-45).
     dtype: str = "float32"
+    # serving: polynomial sine in the snake activations (ops/activations.py
+    # fast_sin, max err 6e-6 — below bf16 resolution).  Exact sin is the
+    # hottest VPU op in the vocoder at audio rate.
+    approx_sin: bool = False
 
     @property
     def upsample_scale(self) -> int:
@@ -72,12 +76,13 @@ def _get_padding(kernel_size: int, dilation: int = 1) -> int:
 class SnakeAct(nn.Module):
     channels: int
     alpha_logscale: bool = False
+    approx_sin: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.channels,))
-        return snake(x, alpha, self.alpha_logscale)
+        return snake(x, alpha, self.alpha_logscale, approx_sin=self.approx_sin)
 
 
 class ResBlock(nn.Module):
@@ -86,14 +91,17 @@ class ResBlock(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
+    approx_sin: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i, d in enumerate(self.dilations):
-            xt = SnakeAct(self.channels, name=f"act1_{i}")(x)
+            xt = SnakeAct(self.channels, approx_sin=self.approx_sin,
+                          name=f"act1_{i}")(x)
             xt = Conv1d(self.channels, self.kernel_size, padding=_get_padding(self.kernel_size, d),
                         dilation=d, weight_norm=True, name=f"convs1_{i}")(xt)
-            xt = SnakeAct(self.channels, name=f"act2_{i}")(xt)
+            xt = SnakeAct(self.channels, approx_sin=self.approx_sin,
+                          name=f"act2_{i}")(xt)
             xt = Conv1d(self.channels, self.kernel_size, padding=_get_padding(self.kernel_size, 1),
                         weight_norm=True, name=f"convs2_{i}")(xt)
             x = x + xt
@@ -161,6 +169,7 @@ class HiFTGenerator(nn.Module):
         self.f0_predictor = ConvRNNF0Predictor(cfg.f0_cond_channels)
         self.m_source = SourceModuleHnNSF(cfg, self.deterministic)
         self.conv_pre = Conv1d(cfg.base_channels, 7, padding=3, weight_norm=True)
+        approx = cfg.approx_sin
         ups, source_downs, source_resblocks, resblocks = [], [], [], []
         down_cum = np.cumprod([1] + list(cfg.upsample_rates[::-1][:-1]))[::-1]
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
@@ -175,10 +184,12 @@ class HiFTGenerator(nn.Module):
             else:
                 source_downs.append(Conv1d(ch, du * 2, stride=du, padding=du // 2,
                                            name=f"source_downs_{i}"))
-            source_resblocks.append(ResBlock(ch, sk, sd, name=f"source_resblocks_{i}"))
+            source_resblocks.append(ResBlock(ch, sk, sd, approx_sin=approx,
+                                             name=f"source_resblocks_{i}"))
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                              cfg.resblock_dilation_sizes)):
-                resblocks.append(ResBlock(ch, rk, rd, name=f"resblocks_{i}_{j}"))
+                resblocks.append(ResBlock(ch, rk, rd, approx_sin=approx,
+                                          name=f"resblocks_{i}_{j}"))
         self.ups = ups
         self.source_downs = source_downs
         self.source_resblocks = source_resblocks

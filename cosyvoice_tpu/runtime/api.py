@@ -157,7 +157,7 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
                                        estimator=dataclasses.replace(
             flow_cfg.estimator, dtype="bfloat16", approx_gelu=True,
             fused_attention=jax.default_backend() == "tpu"))
-        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16")
+        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16", approx_sin=True)
     if quant == "int8":
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8"))

@@ -189,3 +189,34 @@ def test_hift_bf16_serving_dtype(rng):
     err = np.abs(np.asarray(wav16) - np.asarray(wav32)).mean()
     ref = np.abs(np.asarray(wav32)).mean() + 1e-6
     assert err / ref < 0.2, (err, ref)
+
+
+def test_fast_sin_accuracy():
+    """fast_sin (serving polynomial sine) matches sin to ~6e-6 everywhere."""
+    from cosyvoice_tpu.ops.activations import fast_sin
+
+    x = jnp.asarray(np.linspace(-50.0, 50.0, 200001), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fast_sin(x)), np.sin(np.asarray(x)),
+                               atol=2e-5)
+
+
+def test_hift_approx_sin_serving(rng):
+    """approx_sin + bf16 serving vocoder tracks the exact-fp32 one."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+    from cosyvoice_tpu.utils.dtype import to_bf16
+
+    cfg = HiFTConfig(base_channels=32, f0_cond_channels=16)
+    mel = jnp.asarray((rng.standard_normal((1, 24, 80)) * 0.5).astype(np.float32))
+    model = HiFTGenerator(cfg, deterministic=True)
+    params = model.init({"params": jax.random.PRNGKey(0)}, mel)
+    wav32, _ = model.apply(params, mel, method=HiFTGenerator.inference)
+    mfast = HiFTGenerator(dataclasses.replace(cfg, dtype="bfloat16",
+                                              approx_sin=True),
+                          deterministic=True)
+    wavf, _ = mfast.apply(to_bf16(params), mel, method=HiFTGenerator.inference)
+    assert np.isfinite(np.asarray(wavf)).all()
+    err = np.abs(np.asarray(wavf) - np.asarray(wav32)).mean()
+    ref = np.abs(np.asarray(wav32)).mean() + 1e-6
+    assert err / ref < 0.2, (err, ref)
