@@ -215,13 +215,17 @@ def test_chunked_stream_decode_matches_one_shot(rng):
     assert int(state.gen.count[0]) == int(cnt[0])
 
 
-def test_lm_int8_decode_matches_fp(rng):
+def test_lm_int8_decode_matches_fp():
     """int8 weight-only LM: greedy tokens track the fp model on random
     weights (per-channel symmetric quant; decode is the weight-HBM-bound
-    path this exists for)."""
+    path this exists for).  Uses a private rng: tiny random models are
+    sensitive to the exact draw, so the test must not depend on how many
+    tests consumed the shared session fixture before it."""
     import dataclasses
 
     from cosyvoice_tpu.utils.quant import quantize_qwen_int8
+
+    rng = np.random.default_rng(0)
 
     S = 20
     cfg = LMConfig(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
