@@ -47,18 +47,29 @@ class Qwen2Config:
     # bf16/f32.  Params carry {kernel:int8, scale:f32} — produce them with
     # utils.quant.quantize_qwen_int8 from an fp checkpoint.
     quant: str = "none"
+    # decode attention + cache append through the fused Pallas kernel over a
+    # packed [B, T, KH*D] cache (ops/pallas/lm_decode_attention.py).  The XLA
+    # dynamic_update_slice + einsum form copies the whole cache every decode
+    # step (~37% of step time at B=32) and lane-pads every cache read 64->128;
+    # the kernel is in-place, lane-exact, and skips the unwritten tail.
+    # TPU serving lever; numerically identical (greedy-token parity tested).
+    fused_cache_update: bool = False
 
 
 class KVCache(NamedTuple):
-    """Preallocated KV: k/v are per-layer TUPLES of [B, kvH, T_max, D]
-    buffers, filled length in `pos`.
+    """Preallocated KV: k/v are per-layer TUPLES of cache buffers, filled
+    length in `pos`.
 
-    Two deliberate layout choices, both decode-bandwidth-critical:
+    Layout choices, all decode-bandwidth-critical:
       * per-layer tuples, NOT one stacked [L, ...] array — a stacked cache
         forces a full-cache jnp.stack + per-layer slice every decode step
         (profiled at ~45% of step time at B=32); separate buffers update
         in place inside the lax.while_loop carry.
-      * head-major [B, kvH, T, D] so the attention einsum's batch dims lead.
+      * default layout is head-major [B, kvH, T, D] so the attention
+        einsum's batch dims lead.
+      * with cfg.fused_cache_update the layout is packed [B, T, kvH*D]
+        (exactly 128 lanes for Qwen2-0.5B — no XLA lane padding) and all
+        reads/writes go through the fused Pallas decode-attention kernel.
     """
 
     k: tuple
@@ -67,7 +78,10 @@ class KVCache(NamedTuple):
 
     @staticmethod
     def create(cfg: Qwen2Config, batch: int, max_len: int, dtype=None) -> "KVCache":
-        shape = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+        if cfg.fused_cache_update:
+            shape = (batch, max_len, cfg.num_kv_heads * cfg.head_dim)
+        else:
+            shape = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
         dt = dtype or cfg.dtype
         return KVCache(tuple(jnp.zeros(shape, dt) for _ in range(cfg.num_layers)),
                        tuple(jnp.zeros(shape, dt) for _ in range(cfg.num_layers)),
@@ -150,26 +164,60 @@ class Qwen2Layer(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        # head-major [B, KH, T, D] so the attention batch dims lead (see KVCache)
-        kt = k.transpose(0, 2, 1, 3)
-        vt = v.transpose(0, 2, 1, 3)
-        if layer_cache is not None:
-            ck, cv = layer_cache
-            ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, cache_pos, 0))
-            cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), (0, 0, cache_pos, 0))
-            k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
-            new_cache = (ck, cv)
-        else:
-            k_all, v_all = kt, vt
-            new_cache = None
-
         g = H // KH  # query groups per kv head
-        qg = q.reshape(B, T, KH, g, HD)
-        scores = jnp.einsum("bikgd,bkjd->bkgij", qg, k_all,
-                            preferred_element_type=jnp.float32) / np.sqrt(HD)
-        scores = scores + attn_bias[:, :, None, :, :]
-        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bkgij,bkjd->bikgd", attn, v_all).reshape(B, T, H * HD)
+        if (layer_cache is not None and cfg.fused_cache_update and T == 1):
+            # serving decode: fused Pallas attention over the packed
+            # [B, T_max, KH*D] cache with in-place append (see
+            # ops/pallas/lm_decode_attention.py for why XLA ops can't)
+            from cosyvoice_tpu.ops.pallas.lm_decode_attention import \
+                lm_decode_attention
+
+            ck, cv = layer_cache
+            qp = q.reshape(B, KH, g, HD).transpose(0, 2, 1, 3).reshape(B, g, KH * HD)
+            kf = k.reshape(B, 1, KH * HD).astype(ck.dtype)
+            vf = v.reshape(B, 1, KH * HD).astype(cv.dtype)
+            bias_row = attn_bias[:, 0, 0, :].astype(jnp.float32)
+            op, ck, cv = lm_decode_attention(
+                qp, kf, vf, ck, cv, bias_row, cache_pos, head_dim=HD,
+                sm_scale=1.0 / float(np.sqrt(HD)),
+                interpret=jax.default_backend() != "tpu")
+            new_cache = (ck, cv)
+            o = (op.reshape(B, g, KH, HD).transpose(0, 2, 1, 3)
+                 .reshape(B, T, H * HD).astype(x.dtype))
+        else:
+            # head-major [B, KH, T, D] so the attention batch dims lead
+            kt = k.transpose(0, 2, 1, 3)
+            vt = v.transpose(0, 2, 1, 3)
+            if layer_cache is None:
+                k_all, v_all = kt, vt
+                new_cache = None
+                bias = attn_bias
+            elif cfg.fused_cache_update:
+                # prefill into the packed cache layout; this is the FIRST
+                # write (cache_pos == 0), so the current tokens ARE the
+                # whole valid cache — attend over them directly instead of
+                # the full buffer (skips the zero tail, bias cols sliced)
+                ck, cv = layer_cache
+                kf = k.reshape(B, T, KH * HD).astype(ck.dtype)
+                vf = v.reshape(B, T, KH * HD).astype(cv.dtype)
+                ck = jax.lax.dynamic_update_slice(ck, kf, (0, cache_pos, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vf, (0, cache_pos, 0))
+                new_cache = (ck, cv)
+                k_all, v_all = kt, vt
+                bias = attn_bias[..., :T]
+            else:
+                ck, cv = layer_cache
+                ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, cache_pos, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), (0, 0, cache_pos, 0))
+                k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
+                new_cache = (ck, cv)
+                bias = attn_bias
+            qg = q.reshape(B, T, KH, g, HD)
+            scores = jnp.einsum("bikgd,bkjd->bkgij", qg, k_all,
+                                preferred_element_type=jnp.float32) / np.sqrt(HD)
+            scores = scores + bias[:, :, None, :, :]
+            attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            o = jnp.einsum("bkgij,bkjd->bikgd", attn, v_all).reshape(B, T, H * HD)
         x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, name="o_proj")(o)
 
         h = rms_norm(x, self.param("post_attention_layernorm", nn.initializers.ones,

@@ -153,11 +153,17 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         import jax
 
         from cosyvoice_tpu.utils.dtype import to_bf16
+        on_tpu = jax.default_backend() == "tpu"
         flow_cfg = dataclasses.replace(flow_cfg, encoder_dtype="bfloat16",
                                        estimator=dataclasses.replace(
             flow_cfg.estimator, dtype="bfloat16", approx_gelu=True,
-            fused_attention=jax.default_backend() == "tpu"))
+            fused_attention=on_tpu))
         hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16", approx_sin=True)
+        # fused decode-attention + in-place KV append over the packed cache
+        # (ops/pallas/lm_decode_attention.py) — decode-step bandwidth lever
+        lm_cfg = dataclasses.replace(
+            lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen,
+                                             fused_cache_update=on_tpu))
     if quant == "int8":
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8"))

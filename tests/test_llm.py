@@ -257,3 +257,31 @@ def test_qdense_int8_quant_error_small(rng):
     deq = np.asarray(q["kernel"], np.float32) * np.asarray(q["scale"])[None, :]
     err = np.abs(deq - w).max() / np.abs(w).max()
     assert err < 0.01
+
+
+def test_lm_fused_cache_decode_matches_baseline():
+    """fused_cache_update (packed-cache Pallas decode attention, TPU serving
+    lever) produces token-for-token identical greedy decodes vs the XLA
+    DUS+einsum path, including right-padded batch rows."""
+    import dataclasses
+
+    rng = np.random.default_rng(0)
+    S = 20
+    cfg = LMConfig(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
+                   speech_token_size=S, qwen=TINY,
+                   sampling=SamplingConfig(method="greedy"))
+    model = Qwen2LM(cfg)
+    text = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 6)))
+    tl = jnp.asarray([6, 4])
+    params = model.init(jax.random.PRNGKey(0), text, tl, text, tl)
+    psp = jnp.asarray(rng.integers(0, S, (2, 4)))
+    args = (text, tl, psp, jnp.asarray([4, 3]), jnp.asarray([4, 4]),
+            jnp.asarray([12, 12]), jax.random.PRNGKey(0))
+    out_a, cnt_a = lm_generate(model, params, *args, max_steps=16, cache_len=64)
+
+    fcfg = dataclasses.replace(
+        cfg, qwen=dataclasses.replace(TINY, fused_cache_update=True))
+    out_b, cnt_b = lm_generate(Qwen2LM(fcfg), params, *args, max_steps=16,
+                               cache_len=64)
+    np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
