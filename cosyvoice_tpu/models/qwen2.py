@@ -207,8 +207,16 @@ class Qwen2Layer(nn.Module):
                 bias = attn_bias[..., :T]
             else:
                 ck, cv = layer_cache
-                ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, cache_pos, 0))
-                cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), (0, 0, cache_pos, 0))
+                if getattr(cache_pos, "ndim", 0) == 1:
+                    # per-row frontier (continuous-batching engine): every
+                    # slot appends at its own position
+                    upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+                        c, u, (0, p, 0)))
+                    ck = upd(ck, kt.astype(ck.dtype), cache_pos)
+                    cv = upd(cv, vt.astype(cv.dtype), cache_pos)
+                else:
+                    ck = jax.lax.dynamic_update_slice(ck, kt.astype(ck.dtype), (0, 0, cache_pos, 0))
+                    cv = jax.lax.dynamic_update_slice(cv, vt.astype(cv.dtype), (0, 0, cache_pos, 0))
                 k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
                 new_cache = (ck, cv)
                 bias = attn_bias

@@ -50,8 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(pos_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref, bias_ref,
             o_ref, ckw_ref, cvw_ref, o_acc, l_acc, *, kv_heads: int,
-            head_dim: int, sm_scale: float, chunk: int, n_chunks: int):
-    pos = pos_ref[0]
+            head_dim: int, sm_scale: float, chunk: int, n_chunks: int,
+            per_row: bool):
+    # per_row: pos is a [B] vector (continuous-batching engine — every slot
+    # sits at its own sequence length; block batch BB is 1 so each grid cell
+    # owns one row's frontier).  Scalar pos: all rows share the frontier.
+    pos = pos_ref[pl.program_id(0)] if per_row else pos_ref[0]
     t = pl.program_id(1)
     BB = ck_ref.shape[0]
     KHD = ck_ref.shape[2]
@@ -124,7 +128,9 @@ def lm_decode_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
     ck, cv   [B, T, KH*D]  cache buffers; DONATED (aliased into the outputs)
     bias_row [B, T]        additive key bias (0 valid / -1e9 pad); the kernel
                            itself masks j >= pos
-    pos      scalar int32  write index; keys j < pos plus the new token attend
+    pos      int32, scalar or [B]: write index; keys j < pos plus the new
+                           token attend.  A [B] vector gives every row its own
+                           frontier (continuous-batching decode).
     returns (o [B, G, KH*D], ck, cv)
     """
     B, G, KHD = q.shape
@@ -135,20 +141,37 @@ def lm_decode_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
     chunk = 128 if T % 128 == 0 else T
     assert T % chunk == 0 and chunk % 8 == 0
     n_chunks = T // chunk
+    per_row = getattr(pos, "ndim", 0) == 1
     # rows per grid cell: amortize per-cell pipeline overhead while keeping
-    # the k/v chunk blocks comfortably inside VMEM
+    # the k/v chunk blocks comfortably inside VMEM.  Per-row frontiers force
+    # BB=1: each row reads/writes windows at its own pos.
     BB = 1
-    for cand in (8, 4, 2):
-        if B % cand == 0 and 2 * cand * chunk * KHD * ck.dtype.itemsize <= 4 * 1024 * 1024:
-            BB = cand
-            break
-    pos_arr = jnp.reshape(pos.astype(jnp.int32), (1,))
+    if not per_row:
+        for cand in (8, 4, 2):
+            if B % cand == 0 and 2 * cand * chunk * KHD * ck.dtype.itemsize <= 4 * 1024 * 1024:
+                BB = cand
+                break
+    if per_row:
+        assert pos.shape == (B,)
+        pos_arr = pos.astype(jnp.int32)
+
+        def live(b, t, pos):
+            return jnp.minimum(t, pos[b] // chunk)
+
+        def wrow(b, t, pos):
+            return pos[b] // 8
+    else:
+        pos_arr = jnp.reshape(pos.astype(jnp.int32), (1,))
+
+        def live(b, t, pos):
+            return jnp.minimum(t, pos[0] // chunk)
+
+        def wrow(b, t, pos):
+            return pos[0] // 8
     bias_row = bias_row.reshape(B, 1, T)
     kern = functools.partial(_kernel, kv_heads=kv_heads, head_dim=head_dim,
-                             sm_scale=sm_scale, chunk=chunk, n_chunks=n_chunks)
-
-    def live(t, pos):
-        return jnp.minimum(t, pos[0] // chunk)
+                             sm_scale=sm_scale, chunk=chunk, n_chunks=n_chunks,
+                             per_row=per_row)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B // BB, n_chunks),
@@ -156,16 +179,14 @@ def lm_decode_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pl.BlockSpec((BB, G, KHD), lambda b, t, pos: (b, 0, 0)),
             pl.BlockSpec((BB, 1, KHD), lambda b, t, pos: (b, 0, 0)),
             pl.BlockSpec((BB, 1, KHD), lambda b, t, pos: (b, 0, 0)),
-            pl.BlockSpec((BB, chunk, KHD), lambda b, t, pos: (b, live(t, pos), 0)),
-            pl.BlockSpec((BB, chunk, KHD), lambda b, t, pos: (b, live(t, pos), 0)),
-            pl.BlockSpec((BB, 1, chunk), lambda b, t, pos: (b, 0, live(t, pos))),
+            pl.BlockSpec((BB, chunk, KHD), lambda b, t, pos: (b, live(b, t, pos), 0)),
+            pl.BlockSpec((BB, chunk, KHD), lambda b, t, pos: (b, live(b, t, pos), 0)),
+            pl.BlockSpec((BB, 1, chunk), lambda b, t, pos: (b, 0, live(b, t, pos))),
         ],
         out_specs=[
             pl.BlockSpec((BB, G, KHD), lambda b, t, pos: (b, 0, 0)),
-            pl.BlockSpec((BB, 8, KHD),
-                         lambda b, t, pos: (b, pos[0] // 8, 0)),
-            pl.BlockSpec((BB, 8, KHD),
-                         lambda b, t, pos: (b, pos[0] // 8, 0)),
+            pl.BlockSpec((BB, 8, KHD), lambda b, t, pos: (b, wrow(b, t, pos), 0)),
+            pl.BlockSpec((BB, 8, KHD), lambda b, t, pos: (b, wrow(b, t, pos), 0)),
         ],
         scratch_shapes=[pltpu.VMEM((BB, G, KHD), jnp.float32),
                         pltpu.VMEM((BB, kv_heads, G, 128), jnp.float32)])

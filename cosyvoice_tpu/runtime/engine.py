@@ -1,0 +1,330 @@
+"""Continuous-batching LM serving engine (slot-based, JetStream-style).
+
+The reference reaches high LM throughput by delegating decode to vLLM/sglang
+servers (`cosyvoice/llm/llm.py:2094-2716`), whose core trick is CONTINUOUS
+batching: requests join and leave a running decode batch, so the batch stays
+full even though sequences finish at different times.  `BatchedSynthesizer`
+(runtime/serving.py) gets the batching win but synchronizes the whole batch —
+a long request holds every slot hostage (head-of-line blocking).
+
+This module is the TPU-native continuous engine:
+  * a fixed number of SLOTS (the decode batch, static shape);
+  * `engine_admit` — one jitted prefill that computes a request's prefix K/V
+    with B=1 and INSERTS it into the slot's rows of the engine-wide cache
+    (donated buffers: XLA updates in place);
+  * `engine_decode_segment` — one jitted lax.while_loop advancing ALL slots
+    up to n steps; every slot sits at its own sequence length, so the KV
+    cache carries a per-row frontier `pos [S]` (the fused Pallas decode
+    kernel takes the vector directly; the XLA path vmaps the cache append);
+  * a host scheduler that admits pending requests into free slots between
+    segments, streams each slot's new tokens to its consumer, and recycles
+    slots the moment a sequence finishes.
+
+Decode math is IDENTICAL to models/llm.lm_generate (greedy token parity is
+tested under staggered admissions); with stochastic sampling the rng SCHEDULE
+differs (one shared chain across slots), which changes draws but not the
+distribution.
+
+Differences from the reference's engines, by TPU design: static shapes
+everywhere (slot count, cache length, output cap are compile-time), no paged
+KV (one contiguous region per slot — CosyVoice sequences are short and
+bounded by 20x text len, so fragmentation is not a concern), admission cost
+is one bucketed B=1 prefill instead of chunked prefill.
+"""
+from __future__ import annotations
+
+import collections
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.models.llm import _sample, Qwen2LM
+from cosyvoice_tpu.models.qwen2 import KVCache, causal_prefill_bias
+from cosyvoice_tpu.ops.masks import NEG_INF
+
+
+class EngineState(NamedTuple):
+    """All decode state, one row per slot.  done=True marks both finished and
+    empty slots, so a segment's while_loop exits early when nothing is live."""
+
+    cache: KVCache          # k/v per layer; pos [S] per-row frontier
+    prev_emb: jax.Array     # [S, 1, D] next input embedding
+    step: jax.Array         # [S] decode steps taken (incl. non-emitted)
+    count: jax.Array        # [S] emitted tokens
+    done: jax.Array         # [S] bool
+    out: jax.Array          # [S, max_out] emitted tokens
+    recent: jax.Array       # [S, win] last emitted (RAS window)
+    recent_n: jax.Array     # [S]
+    min_len: jax.Array      # [S]
+    max_len: jax.Array      # [S]
+    rng: jax.Array
+
+
+def engine_init(model: Qwen2LM, num_slots: int, cache_len: int, max_out: int,
+                rng, dtype) -> EngineState:
+    cfg = model.cfg
+    base = KVCache.create(cfg.qwen, num_slots, cache_len, dtype=dtype)
+    S = num_slots
+    win = cfg.sampling.win_size
+    return EngineState(
+        cache=KVCache(base.k, base.v, jnp.zeros((S,), jnp.int32)),
+        prev_emb=jnp.zeros((S, 1, cfg.llm_input_size), dtype),
+        step=jnp.zeros((S,), jnp.int32),
+        count=jnp.zeros((S,), jnp.int32),
+        done=jnp.ones((S,), bool),
+        out=jnp.zeros((S, max_out), jnp.int32),
+        recent=jnp.zeros((S, win), jnp.int32),
+        recent_n=jnp.zeros((S,), jnp.int32),
+        min_len=jnp.zeros((S,), jnp.int32),
+        max_len=jnp.full((S,), 1, jnp.int32),
+        rng=rng)
+
+
+def _row_sample(model, params, cfg, hidden_last, st: EngineState):
+    """Sample one token per slot from last hidden; per-row min_len EOS mask."""
+    logits = model.apply(params, hidden_last, method=type(model).decode_logits)
+    logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
+    suppress = st.step < st.min_len
+    eos = cfg.eos_token
+    logp = jnp.where(suppress[:, None] & (jnp.arange(logp.shape[-1])[None] == eos),
+                     NEG_INF, logp)
+    rng, k = jax.random.split(st.rng)
+    win = cfg.sampling.win_size
+    rv = jnp.arange(win)[None] < st.recent_n[:, None]
+    tok = _sample(cfg.sampling, k, logp, st.recent, rv)
+    return tok, rng
+
+
+def _row_advance(model, params, cfg, st: EngineState, tok) -> EngineState:
+    """Per-row version of models/llm advance: emit, roll RAS window, flag done."""
+    eos = cfg.eos_token
+    win = cfg.sampling.win_size
+    emitted = (tok < eos) & ~st.done
+    done = st.done | (tok == eos) | (st.step + 1 >= st.max_len)
+    out = jax.vmap(lambda o, c, t, e: jnp.where(e, o.at[c].set(t), o))(
+        st.out, st.count, tok, emitted)
+    recent = jax.vmap(lambda r, t, e: jnp.where(e, jnp.roll(r, -1).at[-1].set(t), r))(
+        st.recent, tok, emitted)
+    recent_n = jnp.minimum(st.recent_n + emitted, win)
+    new_emb = model.apply(params, tok[:, None], method=type(model).speech_emb)
+    prev_emb = jnp.where(emitted[:, None, None], new_emb, st.prev_emb)
+    return st._replace(prev_emb=prev_emb, step=st.step + 1,
+                       count=st.count + emitted, done=done, out=out,
+                       recent=recent, recent_n=recent_n)
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnames=("state",))
+def engine_admit(model: Qwen2LM, params, state: EngineState, slot,
+                 text, text_len, prompt_speech, prompt_speech_len,
+                 min_len, max_len) -> EngineState:
+    """Prefill one request (B=1, bucketed lengths) and install it in `slot`.
+
+    Compiles once per (text, prompt_speech) bucket shape.  The prefix K/V is
+    computed against a small [1, Tp] cache and inserted into the slot's rows;
+    rows past the true prefix length hold garbage but sit beyond the slot's
+    frontier (pos = seq_len), and decode overwrites them one by one.
+    """
+    cfg = model.cfg
+    cls = type(model)
+    embeds, seq_len = model.apply(params, text[None], text_len[None],
+                                  prompt_speech[None], prompt_speech_len[None],
+                                  method=cls.prefill_embeds)
+    Tp = embeds.shape[1]
+    pcache = KVCache.create(cfg.qwen, 1, Tp, dtype=embeds.dtype)
+    bias = causal_prefill_bias(Tp, Tp, seq_len, 1, embeds.dtype)
+    positions = jnp.broadcast_to(jnp.arange(Tp)[None], (1, Tp))
+    hidden, pcache = model.apply(params, embeds, positions, bias, pcache,
+                                 method=cls.forward_hidden)
+    last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
+
+    if cfg.qwen.fused_cache_update:  # packed [S, Tmax, KH*D]
+        ins = lambda c, u: jax.lax.dynamic_update_slice(c, u, (slot, 0, 0))
+    else:                            # head-major [S, KH, Tmax, D]
+        ins = lambda c, u: jax.lax.dynamic_update_slice(c, u, (slot, 0, 0, 0))
+    k = tuple(ins(c, u) for c, u in zip(state.cache.k, pcache.k))
+    v = tuple(ins(c, u) for c, u in zip(state.cache.v, pcache.v))
+
+    def set1(vec, val):
+        return vec.at[slot].set(val.astype(vec.dtype) if hasattr(val, "astype") else val)
+
+    win = cfg.sampling.win_size
+    st = state._replace(
+        cache=KVCache(k, v, set1(state.cache.pos, seq_len[0])),
+        prev_emb=jax.lax.dynamic_update_slice(
+            state.prev_emb, jnp.zeros((1, 1, state.prev_emb.shape[-1]),
+                                      state.prev_emb.dtype), (slot, 0, 0)),
+        step=set1(state.step, 0),
+        count=set1(state.count, 0),
+        done=set1(state.done, False),
+        out=jax.lax.dynamic_update_slice(
+            state.out, jnp.zeros((1, state.out.shape[1]), jnp.int32), (slot, 0)),
+        recent=jax.lax.dynamic_update_slice(
+            state.recent, jnp.zeros((1, win), jnp.int32), (slot, 0)),
+        recent_n=set1(state.recent_n, 0),
+        min_len=set1(state.min_len, min_len),
+        max_len=set1(state.max_len, max_len))
+
+    # first token, same math as lm_generate's prefill sample — computed for
+    # every slot then applied to `slot` only
+    logits = model.apply(params, last, method=cls.decode_logits)
+    logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
+    eos = cfg.eos_token
+    logp = jnp.where((0 < min_len) & (jnp.arange(logp.shape[-1])[None] == eos),
+                     NEG_INF, logp)
+    rng, kk = jax.random.split(st.rng)
+    tok0 = _sample(cfg.sampling, kk, logp,
+                   jnp.zeros((1, win), jnp.int32), jnp.zeros((1, win), bool))[0]
+
+    emitted = tok0 < eos
+    new_emb = model.apply(params, tok0[None, None], method=cls.speech_emb)
+    prev_row = jnp.where(emitted, new_emb[0],
+                         jnp.zeros((1, new_emb.shape[-1]), new_emb.dtype))
+    return st._replace(
+        prev_emb=jax.lax.dynamic_update_slice(
+            st.prev_emb, prev_row[None].astype(st.prev_emb.dtype), (slot, 0, 0)),
+        step=set1(st.step, 1),
+        count=set1(st.count, emitted.astype(jnp.int32)),
+        done=set1(st.done, (tok0 == eos) | (1 >= max_len)),
+        out=st.out.at[slot, 0].set(jnp.where(emitted, tok0, 0)),
+        recent=st.recent.at[slot, win - 1].set(jnp.where(emitted, tok0, 0)),
+        recent_n=set1(st.recent_n, emitted.astype(jnp.int32)),
+        rng=rng)
+
+
+@partial(jax.jit, static_argnames=("model", "n_steps"),
+         donate_argnames=("state",))
+def engine_decode_segment(model: Qwen2LM, params, state: EngineState,
+                          n_steps: int) -> EngineState:
+    """Advance every live slot by up to n_steps tokens (early-exit when all
+    slots are done).  One while_loop; slots at different sequence lengths."""
+    cfg = model.cfg
+    cls = type(model)
+    cache_len = state.cache.k[0].shape[-2] if not cfg.qwen.fused_cache_update \
+        else state.cache.k[0].shape[1]
+    start = state.step
+
+    def body(st: EngineState) -> EngineState:
+        # freeze done rows' frontiers (their writes land in one scratch row)
+        pos0 = jnp.minimum(st.cache.pos, cache_len - 1)
+        key_ok = jnp.arange(cache_len)[None, :] <= pos0[:, None]
+        bias = jnp.where(key_ok[:, None, None, :], 0.0, NEG_INF
+                         ).astype(st.prev_emb.dtype)
+        hidden, cache = model.apply(
+            params, st.prev_emb, pos0[:, None],
+            bias, st.cache._replace(pos=pos0), method=cls.forward_hidden)
+        cache = cache._replace(pos=jnp.where(st.done, pos0, pos0 + 1))
+        tok, rng = _row_sample(model, params, cfg, hidden, st)
+        return _row_advance(model, params, cfg,
+                            st._replace(cache=cache, rng=rng), tok)
+
+    def cond(st: EngineState):
+        return (~jnp.all(st.done)) & jnp.any(st.step - start < n_steps)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+# --------------------------------------------------------------------------
+# host scheduler
+# --------------------------------------------------------------------------
+
+@dataclass
+class GenRequest:
+    """One LM generation request (ids already tokenized/assembled)."""
+
+    text: np.ndarray                 # [Tt] prompt_text ++ text ids
+    prompt_speech: np.ndarray        # [Ts] prompt speech tokens
+    min_len: Optional[int] = None    # default 2x / 20x new-text len
+    max_len: Optional[int] = None
+    new_text_len: Optional[int] = None  # len basis for min/max (default: all)
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, (n + m - 1) // m * m)
+
+
+@dataclass
+class ServingEngine:
+    """Continuous-batching scheduler over the jitted admit/segment programs.
+
+    generate() keeps `num_slots` sequences decoding concurrently, admitting
+    pending requests the moment a slot frees up, and streams each request's
+    new tokens through `on_tokens(request_index, tokens, done)` after every
+    segment — the hook the streaming TTS pipeline (flow+vocoder chunking)
+    consumes.  Decode runs in segments of `segment_steps` tokens between
+    scheduler interventions (50 tokens = one 2 s flow chunk).
+    """
+
+    model: Qwen2LM
+    params: dict
+    num_slots: int = 8
+    cache_len: int = 1024
+    max_out: int = 768
+    segment_steps: int = 50
+    text_bucket: int = 32
+    speech_bucket: int = 64
+
+    def generate(self, requests: Sequence[GenRequest], rng=None,
+                 on_tokens: Optional[Callable] = None) -> list[np.ndarray]:
+        cfg = self.model.cfg
+        dtype = jax.tree.leaves(self.params)[0].dtype
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        state = engine_init(self.model, self.num_slots, self.cache_len,
+                            self.max_out, rng, dtype)
+        pending = collections.deque(enumerate(requests))
+        slot_req: dict[int, int] = {}       # slot -> request index
+        seen: dict[int, int] = {}           # slot -> tokens already streamed
+        free = list(range(self.num_slots))[::-1]
+        results: list[Optional[np.ndarray]] = [None] * len(requests)
+
+        def admit(slot: int, idx: int, r: GenRequest):
+            tt = np.asarray(r.text, np.int32)
+            ps = np.asarray(r.prompt_speech, np.int32)
+            ntl = r.new_text_len if r.new_text_len is not None else len(tt)
+            mn = r.min_len if r.min_len is not None else \
+                int(cfg.min_token_text_ratio * ntl)
+            mx = r.max_len if r.max_len is not None else \
+                int(cfg.max_token_text_ratio * ntl)
+            mx = min(mx, self.max_out)
+            Tt = _round_up(len(tt), self.text_bucket)
+            Ts = _round_up(max(len(ps), 1), self.speech_bucket)
+            assert 2 + Tt + Ts + mx <= self.cache_len, \
+                f"request needs {2 + Tt + Ts + mx} cache rows > {self.cache_len}"
+            text = np.zeros(Tt, np.int32)
+            text[:len(tt)] = tt
+            psp = np.zeros(Ts, np.int32)
+            psp[:len(ps)] = ps
+            slot_req[slot] = idx
+            seen[slot] = 0
+            return engine_admit(self.model, self.params, state,
+                                jnp.asarray(slot, jnp.int32), jnp.asarray(text),
+                                jnp.asarray(len(tt), jnp.int32), jnp.asarray(psp),
+                                jnp.asarray(len(ps), jnp.int32),
+                                jnp.asarray(mn, jnp.int32), jnp.asarray(mx, jnp.int32))
+
+        while pending or slot_req:
+            while free and pending:
+                idx, r = pending.popleft()
+                state = admit(free.pop(), idx, r)
+            state = engine_decode_segment(self.model, self.params, state,
+                                          self.segment_steps)
+            count = np.asarray(state.count)
+            done = np.asarray(state.done)
+            out = np.asarray(state.out)
+            for slot in list(slot_req):
+                idx = slot_req[slot]
+                c = int(count[slot])
+                new = out[slot, seen[slot]:c]
+                fin = bool(done[slot])
+                if len(new) or fin:
+                    if on_tokens is not None:
+                        on_tokens(idx, new.copy(), fin)
+                seen[slot] = c
+                if fin:
+                    results[idx] = out[slot, :c].copy()
+                    del slot_req[slot], seen[slot]
+                    free.append(slot)
+        return results  # type: ignore[return-value]

@@ -1,0 +1,85 @@
+"""Continuous-batching engine: greedy token parity vs lm_generate under
+staggered admissions and slot reuse (the correctness contract that lets the
+engine replace the reference's vLLM/sglang serving backends)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, SamplingConfig, lm_generate
+from cosyvoice_tpu.models.qwen2 import Qwen2Config
+from cosyvoice_tpu.runtime.engine import GenRequest, ServingEngine
+
+TINY = Qwen2Config(vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+                   num_kv_heads=2, head_dim=8, intermediate_size=64,
+                   rope_theta=10000.0)
+S = 24  # speech vocab
+
+
+def make_model(fused: bool):
+    qwen = dataclasses.replace(TINY, fused_cache_update=fused)
+    cfg = LMConfig(llm_input_size=TINY.hidden_size,
+                   llm_output_size=TINY.hidden_size, speech_token_size=S,
+                   qwen=qwen, sampling=SamplingConfig(method="greedy"))
+    model = Qwen2LM(cfg)
+    rng = np.random.default_rng(1)
+    t = jnp.asarray(rng.integers(0, TINY.vocab_size, (1, 5)))
+    params = model.init(jax.random.PRNGKey(0), t, jnp.asarray([5]),
+                        t, jnp.asarray([5]))
+    return model, params
+
+
+def reference_tokens(model, params, r: GenRequest, max_steps, cache_len):
+    """Isolated lm_generate (B=1) on the same request."""
+    mn = int(model.cfg.min_token_text_ratio * len(r.text))
+    mx = int(model.cfg.max_token_text_ratio * len(r.text))
+    out, cnt = lm_generate(
+        model, params, jnp.asarray(r.text[None]), jnp.asarray([len(r.text)]),
+        jnp.asarray(r.prompt_speech[None]), jnp.asarray([len(r.prompt_speech)]),
+        jnp.asarray([mn]), jnp.asarray([min(mx, max_steps)]),
+        jax.random.PRNGKey(0), max_steps=max_steps, cache_len=cache_len)
+    return np.asarray(out[0, :int(cnt[0])])
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_engine_greedy_parity_mixed_lengths(fused):
+    """4 requests of different lengths through 2 slots (forces staggered
+    admission + slot reuse) produce token-for-token the lm_generate outputs."""
+    model, params = make_model(fused)
+    rng = np.random.default_rng(7)
+    reqs = [GenRequest(text=rng.integers(0, TINY.vocab_size, n).astype(np.int32),
+                       prompt_speech=rng.integers(0, S, p).astype(np.int32))
+            for n, p in [(3, 4), (6, 2), (2, 7), (5, 0)]]
+    eng = ServingEngine(model, params, num_slots=2, cache_len=256, max_out=128,
+                        segment_steps=5, text_bucket=4, speech_bucket=4)
+    stream: dict[int, list] = {i: [] for i in range(len(reqs))}
+    fins: dict[int, int] = {}
+
+    def on_tokens(idx, toks, fin):
+        stream[idx].extend(toks.tolist())
+        if fin:
+            fins[idx] = fins.get(idx, 0) + 1
+
+    got = eng.generate(reqs, rng=jax.random.PRNGKey(3), on_tokens=on_tokens)
+    assert sorted(fins) == list(range(len(reqs))) and all(v == 1 for v in fins.values())
+    for i, r in enumerate(reqs):
+        want = reference_tokens(model, params, r, max_steps=128, cache_len=256)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"request {i}")
+        np.testing.assert_array_equal(np.asarray(stream[i]), want)
+        assert got[i].size and (got[i] < S).all()
+
+
+def test_engine_more_requests_than_slots_all_finish():
+    model, params = make_model(False)
+    rng = np.random.default_rng(11)
+    reqs = [GenRequest(text=rng.integers(0, TINY.vocab_size, 2 + i % 3).astype(np.int32),
+                       prompt_speech=rng.integers(0, S, i % 4).astype(np.int32))
+            for i in range(7)]
+    eng = ServingEngine(model, params, num_slots=3, cache_len=256, max_out=128,
+                        segment_steps=8, text_bucket=4, speech_bucket=4)
+    got = eng.generate(reqs, rng=jax.random.PRNGKey(0))
+    for i, r in enumerate(reqs):
+        want = reference_tokens(model, params, r, max_steps=128, cache_len=256)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"request {i}")

@@ -66,3 +66,31 @@ def test_lm_decode_attention_matches_naive(rng):
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(cko), np.asarray(ck2))
         np.testing.assert_array_equal(np.asarray(cvo), np.asarray(cv2))
+
+
+def test_lm_decode_attention_per_row_pos(rng):
+    """Vector pos (continuous-batching engine): every row attends over and
+    appends at its OWN frontier; matches per-row scalar-pos kernel calls."""
+    from cosyvoice_tpu.ops.pallas.lm_decode_attention import lm_decode_attention
+
+    B, T, KH, G, D = 4, 256, 2, 7, 64
+    KHD = KH * D
+    scale = 1.0 / np.sqrt(D)
+    q = jnp.asarray(rng.standard_normal((B, G, KHD)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((B, 1, KHD)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((B, 1, KHD)).astype(np.float32))
+    ck = jnp.asarray(rng.standard_normal((B, T, KHD)).astype(np.float32))
+    cv = jnp.asarray(rng.standard_normal((B, T, KHD)).astype(np.float32))
+    pos = jnp.asarray([40, 17, 255, 128], jnp.int32)
+    bias_row = jnp.zeros((B, T), jnp.float32)
+
+    o, cko, cvo = lm_decode_attention(q, kn, vn, ck, cv, bias_row, pos,
+                                      head_dim=D, sm_scale=scale, interpret=True)
+    for b in range(B):
+        ob, ckb, cvb = lm_decode_attention(
+            q[b:b + 1], kn[b:b + 1], vn[b:b + 1], ck[b:b + 1], cv[b:b + 1],
+            bias_row[b:b + 1], pos[b], head_dim=D, sm_scale=scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(o[b]), np.asarray(ob[0]),
+                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(cko[b]), np.asarray(ckb[0]))
+        np.testing.assert_array_equal(np.asarray(cvo[b]), np.asarray(cvb[0]))
