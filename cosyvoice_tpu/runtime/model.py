@@ -34,6 +34,15 @@ from cosyvoice_tpu.models.hift import HiFTGenerator
 from cosyvoice_tpu.models.llm import Qwen2LM, lm_generate
 
 
+def _session_rng(base_rng, session: dict):
+    """Per-session noise stream: fold a session-local counter into the seeded
+    base key.  Session-scoped (not model-global) so a request's waveform is
+    reproducible regardless of what else the model synthesized before or
+    interleaved with it (continuous batching interleaves sessions)."""
+    session["noise_ctr"] = session.get("noise_ctr", 0) + 1
+    return jax.random.fold_in(base_rng, session["noise_ctr"])
+
+
 def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -85,7 +94,6 @@ class CosyVoice2Model:
         self._hift_infer = _hift_infer
         self._hift_infer_nocache = _hift_infer_nocache
         self._noise_rng = jax.random.PRNGKey(0)
-        self._noise_ctr = 0
 
     # ------------------------------------------------------------------
     # stages
@@ -126,14 +134,12 @@ class CosyVoice2Model:
         return mel[token_offset * self.ratio:]  # [frames, 80]
 
     def _vocode(self, mel: np.ndarray, cache_source: Optional[np.ndarray],
-                pad_to: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
+                rng, pad_to: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
         """HiFT over [frames, 80] mel (+ source splice); bucketed pad + slice."""
         n = mel.shape[0]
         bucket = pad_to or n
         mel_pad = np.zeros((bucket, self.flow.cfg.output_size), np.float32)
         mel_pad[:n] = mel
-        self._noise_ctr += 1
-        rng = jax.random.fold_in(self._noise_rng, self._noise_ctr)
         if cache_source is not None and cache_source.shape[0] > 0:
             wav, source = self._hift_infer(self.hift_params,
                                            jnp.asarray(mel_pad)[None],
@@ -162,9 +168,10 @@ class CosyVoice2Model:
             cache_source = cache["source"]
         else:
             cache_source = None
+        rng = _session_rng(self._noise_rng, session)
         if not finalize:
             pad_to = self.mel_cache_len + (self.token_hop_len + self.pre_lookahead_len) * self.ratio
-            wav, source = self._vocode(mel, cache_source, pad_to=pad_to)
+            wav, source = self._vocode(mel, cache_source, rng, pad_to=pad_to)
             if cache is not None:
                 wav = self._fade(wav, cache["speech"])
             session["hift"] = {"mel": mel[-self.mel_cache_len:],
@@ -174,7 +181,7 @@ class CosyVoice2Model:
         if speed != 1.0:
             assert cache is None, "speed change only supports non-stream mode"
             mel = _interp_linear(mel, int(mel.shape[0] / speed))
-        wav, _ = self._vocode(mel, cache_source, pad_to=round_up(mel.shape[0], 32))
+        wav, _ = self._vocode(mel, cache_source, rng, pad_to=round_up(mel.shape[0], 32))
         if cache is not None:
             wav = self._fade(wav, cache["speech"])
         return wav
@@ -323,7 +330,6 @@ class CosyVoiceV1Model:
         self._hift_infer = _hift_infer
         self._hift_infer_nocache = _hift_infer_nocache
         self._noise_rng = jax.random.PRNGKey(0)
-        self._noise_ctr = 0
 
     def llm_generate(self, text_tokens, prompt_text_len, prompt_speech_tokens,
                      embedding, rng):
@@ -348,8 +354,7 @@ class CosyVoiceV1Model:
     def token2wav(self, tokens, prompt_tokens, prompt_feat, embedding,
                   session, finalize, speed=1.0):
         tok = np.concatenate([prompt_tokens, tokens]).astype(np.int32)
-        self._noise_ctr += 1
-        rng = jax.random.fold_in(self._noise_rng, self._noise_ctr)
+        rng = _session_rng(self._noise_rng, session)
         mel_len2 = int(len(tokens) / self.fr * self.sample_rate / 256)
         fc = session.get("flow_cache")
         mel, new_fc = self._flow_infer(
@@ -368,8 +373,7 @@ class CosyVoiceV1Model:
         if cache is not None:
             mel = np.concatenate([cache["mel"], mel], axis=0)
             cache_source = cache["source"]
-        self._noise_ctr += 1
-        hrng = jax.random.fold_in(self._noise_rng, self._noise_ctr)
+        hrng = _session_rng(self._noise_rng, session)
         if not finalize:
             session["mel_overlap"] = mel[-self.mel_overlap_len:]
             mel = mel[: -self.mel_overlap_len]

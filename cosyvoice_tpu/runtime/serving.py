@@ -88,3 +88,68 @@ class BatchedSynthesizer:
                                     r.prompt_feat, r.embedding, 0, session,
                                     finalize=True))
         return wavs
+
+
+@dataclass
+class ContinuousSynthesizer:
+    """Streaming TTS under continuous batching.
+
+    The LM runs in the slot engine (runtime/engine.py) so sequences join and
+    leave the decode batch independently; after every decode segment, each
+    request whose token stream has grown past the next hop boundary gets its
+    flow+vocoder chunk (the reference's streaming constants: hop 50 tokens,
+    lookahead 3, fade caches — runtime/model.py token2wav).  `on_chunk`
+    receives (request_index, wav_chunk, final) as chunks materialize — the
+    continuous analog of the reference's per-session producer thread +
+    consumer poll (cli/model.py:177-238).
+    """
+
+    model: CosyVoice2Model
+    num_slots: int = 8
+    cache_len: int = 1024
+    max_out: int = 768
+    text_bucket: int = 32
+    speech_bucket: int = 64
+
+    def synthesize_batch(self, requests: Sequence[TTSRequest], rng=None,
+                         on_chunk=None) -> list[np.ndarray]:
+        from cosyvoice_tpu.runtime.engine import GenRequest, ServingEngine
+
+        m = self.model
+        hop, la = m.token_hop_len, m.pre_lookahead_len
+        engine = ServingEngine(m.llm, m.llm_params, num_slots=self.num_slots,
+                               cache_len=self.cache_len, max_out=self.max_out,
+                               segment_steps=hop, text_bucket=self.text_bucket,
+                               speech_bucket=self.speech_bucket)
+        genreqs = [GenRequest(text=np.asarray(r.text_tokens, np.int32),
+                              prompt_speech=np.asarray(r.prompt_speech_tokens, np.int32),
+                              new_text_len=len(r.text_tokens) - r.prompt_text_len)
+                   for r in requests]
+        tokens: list[list[int]] = [[] for _ in requests]
+        offset = [0] * len(requests)
+        sessions: list[dict] = [{"hift": None} for _ in requests]
+        chunks: list[list[np.ndarray]] = [[] for _ in requests]
+
+        def emit(idx: int, wav: np.ndarray, final: bool):
+            chunks[idx].append(wav)
+            if on_chunk is not None:
+                on_chunk(idx, wav, final)
+
+        def on_tokens(idx: int, new: np.ndarray, fin: bool):
+            r = requests[idx]
+            tokens[idx].extend(new.tolist())
+            tok = np.asarray(tokens[idx], np.int32)
+            while len(tok) - offset[idx] >= hop + la:
+                wav = m.token2wav(tok[: offset[idx] + hop + la],
+                                  r.prompt_speech_tokens, r.prompt_feat,
+                                  r.embedding, offset[idx], sessions[idx],
+                                  finalize=False)
+                offset[idx] += hop
+                emit(idx, wav, final=False)
+            if fin:
+                emit(idx, m.token2wav(tok, r.prompt_speech_tokens,
+                                      r.prompt_feat, r.embedding, offset[idx],
+                                      sessions[idx], finalize=True), final=True)
+
+        engine.generate(genreqs, rng=rng, on_tokens=on_tokens)
+        return [np.concatenate(c) for c in chunks]

@@ -83,3 +83,52 @@ def test_engine_more_requests_than_slots_all_finish():
     for i, r in enumerate(reqs):
         want = reference_tokens(model, params, r, max_steps=128, cache_len=256)
         np.testing.assert_array_equal(got[i], want, err_msg=f"request {i}")
+
+
+def test_continuous_synthesizer_matches_sequential_stream():
+    """Full TTS under continuous batching: two interleaved requests produce
+    exactly the waveform model.tts(stream=True) produces for each in
+    isolation (greedy LM; session-scoped vocoder noise makes the vocoder
+    independent of interleaving)."""
+    from cosyvoice_tpu.models.llm import SamplingConfig as SC
+    from cosyvoice_tpu.runtime.serving import ContinuousSynthesizer, TTSRequest
+    from tests.test_runtime import SPEECH_VOCAB, N_MEL, build_tiny_stack
+
+    m = build_tiny_stack(sampling=SC(method="greedy"))
+    # random weights greedily hit a non-emitted fill id and stall; bias the
+    # head away from eos/fill so decode emits every step up to max_len=96,
+    # guaranteeing streamed chunks past the hop+la=53 threshold
+    bias = np.asarray(m.llm_params["params"]["llm_decoder"]["bias"]).copy()
+    bias[SPEECH_VOCAB:] = -30.0
+    m.llm_params["params"]["llm_decoder"]["bias"] = jnp.asarray(bias)
+    rng = np.random.default_rng(5)
+    reqs = []
+    for n in (30, 27):  # min_len = 2n > hop+la=53 guarantees >=1 stream chunk
+        reqs.append(TTSRequest(
+            text_tokens=rng.integers(0, 300, n).astype(np.int32),
+            prompt_text_len=0,
+            prompt_speech_tokens=rng.integers(0, SPEECH_VOCAB, 4).astype(np.int32),
+            prompt_feat=rng.standard_normal((8, N_MEL)).astype(np.float32),
+            embedding=rng.standard_normal(24).astype(np.float32)))
+
+    seen = []
+
+    def on_chunk(idx, wav, final):
+        seen.append((idx, len(wav), final))
+
+    synth = ContinuousSynthesizer(m, num_slots=2, cache_len=256,
+                                  max_out=m.max_decode_tokens,
+                                  text_bucket=16, speech_bucket=8)
+    got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(2),
+                                 on_chunk=on_chunk)
+    assert {i for i, _, f in seen if f} == {0, 1}
+    assert any(not f for _, _, f in seen), "expected streamed (non-final) chunks"
+    for i, r in enumerate(reqs):
+        want = np.concatenate([o["tts_speech"] for o in m.tts(
+            text_tokens=r.text_tokens, prompt_text_len=0,
+            llm_prompt_speech_token=r.prompt_speech_tokens,
+            flow_prompt_speech_token=r.prompt_speech_tokens,
+            prompt_speech_feat=r.prompt_feat, flow_embedding=r.embedding,
+            stream=True, rng=jax.random.PRNGKey(9))])
+        np.testing.assert_allclose(got[i], want, atol=1e-5, rtol=1e-5,
+                                   err_msg=f"request {i}")

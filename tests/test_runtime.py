@@ -20,14 +20,14 @@ SPEECH_VOCAB = 24
 N_MEL = 16
 
 
-@pytest.fixture(scope="module")
-def tiny_stack():
+def build_tiny_stack(sampling: SamplingConfig = SamplingConfig(method="ras", top_k=5),
+                     max_decode_tokens: int = 96) -> CosyVoice2Model:
     qwen = Qwen2Config(vocab_size=300, hidden_size=32, num_layers=2, num_heads=4,
                        num_kv_heads=2, head_dim=8, intermediate_size=64,
                        rope_theta=10000.0)
     lm_cfg = LMConfig(llm_input_size=32, llm_output_size=32,
                       speech_token_size=SPEECH_VOCAB, qwen=qwen,
-                      sampling=SamplingConfig(method="ras", top_k=5))
+                      sampling=sampling)
     enc = ConformerConfig(dim=64, heads=4, linear_units=64, num_blocks=1,
                           dropout_rate=0.0, attention_dropout_rate=0.0,
                           input_size=64, static_chunk_size=50)
@@ -56,7 +56,12 @@ def tiny_stack():
     hift_params = hift.init({"params": k, "noise": k}, jnp.zeros((1, 10, N_MEL)))
     return CosyVoice2Model(llm=llm, flow=flow, hift=hift, llm_params=llm_params,
                            flow_params=flow_params, hift_params=hift_params,
-                           max_decode_tokens=96)
+                           max_decode_tokens=max_decode_tokens)
+
+
+@pytest.fixture(scope="module")
+def tiny_stack():
+    return build_tiny_stack()
 
 
 def test_nonstream_tts(tiny_stack):
