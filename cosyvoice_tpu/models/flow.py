@@ -256,7 +256,8 @@ class ConditionalDecoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, mu: jax.Array,
                  t: jax.Array, spks: jax.Array, cond: jax.Array,
-                 streaming: bool = False) -> jax.Array:
+                 streaming: bool = False,
+                 exact_pad_mask: bool = False) -> jax.Array:
         cfg = self.cfg
         chans = tuple(cfg.channels)
         time_dim = chans[0] * 4
@@ -301,6 +302,18 @@ class ConditionalDecoder(nn.Module):
                 keep = add_chunk_mask(m > 0,
                                       cfg.static_chunk_size if streaming else 0)
                 attn_bias = jnp.where(keep, 0.0, NEG_INF).astype(h.dtype)
+            elif exact_pad_mask:
+                # serving: true -inf key masking.  On unpadded rows this is
+                # bit-identical to the reference quirk below (a constant +1
+                # on every key shifts softmax by nothing); on padded rows it
+                # reproduces the reference's EXACT-LENGTH computation, so the
+                # valid region is invariant to the pad bucket — the property
+                # ragged batched serving and bucket-consistent streaming need
+                # (the quirk leaks pad keys, so outputs drift with pad size).
+                from cosyvoice_tpu.ops.masks import NEG_INF
+
+                attn_bias = jnp.where(m[:, None, :] > 0, 0.0, NEG_INF
+                                      ).astype(h.dtype)
             else:
                 # base ConditionalDecoder quirk: float 0/1 pairwise mask used
                 # as an ADDITIVE bias by the diffusers attention
@@ -389,15 +402,18 @@ class CausalConditionalCFM(nn.Module):
 
     def __call__(self, mu: jax.Array, mask: jax.Array, spks: jax.Array,
                  cond: jax.Array, n_timesteps: int = 10, temperature: float = 1.0,
-                 noise: Optional[jax.Array] = None, streaming: bool = False) -> jax.Array:
+                 noise: Optional[jax.Array] = None, streaming: bool = False,
+                 exact_pad_mask: bool = False) -> jax.Array:
         """mu [B,T,80], mask [B,T] float, spks [B,80], cond [B,T,80] -> mel [B,T,80]."""
         B, T, C = mu.shape
         z = (self.rand_noise[:, :T, :] if noise is None else noise) * temperature
         z = jnp.broadcast_to(z, (B, T, C)).astype(mu.dtype)
         t_span = cosine_t_span(n_timesteps, mu.dtype)
-        return self.solve_euler(z, t_span, mu, mask, spks, cond, streaming)
+        return self.solve_euler(z, t_span, mu, mask, spks, cond, streaming,
+                                exact_pad_mask=exact_pad_mask)
 
-    def solve_euler(self, x, t_span, mu, mask, spks, cond, streaming=False):
+    def solve_euler(self, x, t_span, mu, mask, spks, cond, streaming=False,
+                    exact_pad_mask=False):
         B = x.shape[0]
         r = self.cfg.inference_cfg_rate
         mask2 = jnp.concatenate([mask, mask], axis=0)
@@ -412,7 +428,8 @@ class CausalConditionalCFM(nn.Module):
             t, dt = t_dt
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.full((2 * B,), t, x.dtype)
-            v = mdl.estimator(x2, mask2, mu2, t2, spks2, cond2, streaming)
+            v = mdl.estimator(x2, mask2, mu2, t2, spks2, cond2, streaming,
+                              exact_pad_mask=exact_pad_mask)
             v_cond, v_uncond = v[:B], v[B:]
             dphi = (1.0 + r) * v_cond - r * v_uncond
             return x + dt * dphi, None
@@ -509,11 +526,18 @@ class CausalMaskedDiffWithXvec(nn.Module):
 
     def inference(self, token, token_len, prompt_feat, embedding,
                   n_timesteps: int = 10, noise: Optional[jax.Array] = None,
-                  streaming: bool = False, finalize: bool = True) -> jax.Array:
+                  streaming: bool = False, finalize: bool = True,
+                  prompt_feat_len: Optional[jax.Array] = None) -> jax.Array:
         """token [B, Tp+Tg] (prompt tokens ++ generated tokens, already
         concatenated and trimmed to ratio-multiples by the caller),
         prompt_feat [B, P, 80] with P = ratio * prompt_token_len,
         embedding [B, spk_embed_dim] -> mel [B, ratio*T - P, 80].
+
+        With `prompt_feat_len` [B] (ragged batched serving: every request has
+        its own prompt length, right-padded to a shared P), prompt rows past
+        each request's length are zeroed in the conditioning and the FULL
+        mel [B, ratio*T, 80] is returned — the caller slices each row at
+        [prompt_feat_len[b] : ratio*token_len[b]].
         """
         spks = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True).clip(1e-12)
         spks = self.spk_embed_affine_layer(spks)
@@ -523,9 +547,15 @@ class CausalMaskedDiffWithXvec(nn.Module):
         T2 = h.shape[1]
         conds = jnp.zeros((h.shape[0], T2, self.cfg.output_size), h.dtype)
         conds = conds.at[:, :P].set(prompt_feat)
+        if prompt_feat_len is not None:
+            keep = jnp.arange(T2)[None, :] < prompt_feat_len[:, None]
+            conds = jnp.where(keep[..., None], conds, 0.0)
         mask = make_non_pad_mask(token_len * self.cfg.token_mel_ratio, T2).astype(h.dtype)
         feat = self.decoder(h, mask, spks, conds, n_timesteps=n_timesteps,
-                            noise=noise, streaming=streaming)
+                            noise=noise, streaming=streaming,
+                            exact_pad_mask=True)
+        if prompt_feat_len is not None:
+            return feat
         return feat[:, P:, :]
 
     def __call__(self, token, token_len, feat, feat_len, embedding, rng,

@@ -21,7 +21,8 @@ N_MEL = 16
 
 
 def build_tiny_stack(sampling: SamplingConfig = SamplingConfig(method="ras", top_k=5),
-                     max_decode_tokens: int = 96) -> CosyVoice2Model:
+                     max_decode_tokens: int = 96,
+                     deterministic_hift: bool = False) -> CosyVoice2Model:
     qwen = Qwen2Config(vocab_size=300, hidden_size=32, num_layers=2, num_heads=4,
                        num_kv_heads=2, head_dim=8, intermediate_size=64,
                        rope_theta=10000.0)
@@ -46,7 +47,7 @@ def build_tiny_stack(sampling: SamplingConfig = SamplingConfig(method="ras", top
 
     llm = Qwen2LM(lm_cfg)
     flow = CausalMaskedDiffWithXvec(flow_cfg)
-    hift = HiFTGenerator(hift_cfg)
+    hift = HiFTGenerator(hift_cfg, deterministic=deterministic_hift)
     k = jax.random.PRNGKey(0)
     llm_params = llm.init(k, jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
                           jnp.zeros((1, 3), jnp.int32), jnp.asarray([3]))
@@ -309,3 +310,30 @@ def test_nonstream_tts_fp16_int8_levers(tiny_stack):
                       stream=False, rng=jax.random.PRNGKey(7)))
     wav = out[0]["tts_speech"]
     assert wav.shape[0] > 0 and np.isfinite(wav).all()
+
+
+def test_batched_synthesizer_matches_sequential():
+    """Batched serving (batched LM + ONE ragged flow call + ONE vocoder call)
+    matches per-request sequential synthesis: greedy LM tokens are identical,
+    and with a deterministic vocoder the waveforms agree to fp tolerance."""
+    from cosyvoice_tpu.runtime.serving import BatchedSynthesizer, TTSRequest
+
+    m = build_tiny_stack(sampling=SamplingConfig(method="greedy"),
+                         deterministic_hift=True)
+    rng = np.random.default_rng(3)
+    reqs = [TTSRequest(text_tokens=rng.integers(0, 250, n).astype(np.int32),
+                       prompt_text_len=0,
+                       prompt_speech_tokens=rng.integers(0, SPEECH_VOCAB, p).astype(np.int32),
+                       prompt_feat=(rng.standard_normal((2 * p, N_MEL)) * 0.3).astype(np.float32),
+                       embedding=rng.standard_normal(24).astype(np.float32))
+            for n, p in [(20, 5), (14, 2), (9, 8)]]
+    synth = BatchedSynthesizer(m, text_bucket=8, speech_bucket=8)
+    wavs = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(2))
+    for i, r in enumerate(reqs):
+        toks = m.llm_generate(r.text_tokens, 0, r.prompt_speech_tokens,
+                              jax.random.PRNGKey(7))
+        want = m.token2wav(toks, r.prompt_speech_tokens, r.prompt_feat,
+                           r.embedding, 0, {"hift": None}, finalize=True)
+        assert wavs[i].shape == want.shape, f"request {i}"
+        np.testing.assert_allclose(wavs[i], want, atol=2e-3, rtol=1e-3,
+                                   err_msg=f"request {i}")
