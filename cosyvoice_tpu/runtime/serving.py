@@ -39,12 +39,31 @@ class TTSRequest:
 
 @dataclass
 class BatchedSynthesizer:
+    """mesh: optional jax.sharding.Mesh("data", "model") — multi-chip
+    serving.  LM params shard by the TP rules (parallel/mesh.py LM_RULES),
+    flow/vocoder params replicate, every batch shards on "data"; GSPMD
+    inserts the ICI collectives.  Token/wav outputs are identical to
+    single-device (test_lm_generate_tp_dp_sharded_matches_single_device)."""
+
     model: CosyVoice2Model
     text_bucket: int = 32              # pad text lengths to multiples
     speech_bucket: int = 64
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         flow_model, hift_model = self.model.flow, self.model.hift
+        self._data_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from cosyvoice_tpu.parallel.mesh import LM_RULES, shard_params
+
+            m = self.model
+            m.llm_params, _ = shard_params(m.llm_params, self.mesh, LM_RULES)
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            m.flow_params = jax.device_put(m.flow_params, repl)
+            m.hift_params = jax.device_put(m.hift_params, repl)
+            self._data_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
 
         @jax.jit
         def _flow_ragged(params, token, token_len, prompt_feat, emb, pfl):
@@ -68,6 +87,12 @@ class BatchedSynthesizer:
         reads across the batch, not just the LM."""
         m = self.model
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        orig_B = len(requests)
+        if self._data_sharding is not None:
+            # pad the batch to the data-axis size (dup rows, sliced off at
+            # return) so every shard gets equal rows
+            d = self.mesh.shape["data"]
+            requests = list(requests) + [requests[-1]] * ((-orig_B) % d)
         B = len(requests)
         Tt = round_up(max(len(r.text_tokens) for r in requests), self.text_bucket)
         Ts = round_up(max((len(r.prompt_speech_tokens) for r in requests),
@@ -91,10 +116,16 @@ class BatchedSynthesizer:
                              m.max_decode_tokens)
         cap = m.max_decode_tokens
         cache_len = round_up(2 + Tt + Ts + cap, 128)
-        out, count = lm_generate(m.llm, m.llm_params, jnp.asarray(text),
-                                 jnp.asarray(tlen), jnp.asarray(psp),
-                                 jnp.asarray(plen), jnp.asarray(min_len),
-                                 jnp.asarray(max_len), rng, max_steps=cap,
+
+        def put(x, dtype=None):
+            a = jnp.asarray(x, dtype=dtype)
+            return jax.device_put(a, self._data_sharding) \
+                if self._data_sharding is not None else a
+
+        out, count = lm_generate(m.llm, m.llm_params, put(text),
+                                 put(tlen), put(psp),
+                                 put(plen), put(min_len),
+                                 put(max_len), rng, max_steps=cap,
                                  cache_len=cache_len)
         out = np.asarray(out)
         count = np.asarray(count)
@@ -116,18 +147,18 @@ class BatchedSynthesizer:
             pfl[i] = r.prompt_feat.shape[0]
             pf[i, :pfl[i]] = r.prompt_feat
         mel = np.asarray(self._flow_ragged(
-            m.flow_params, jnp.asarray(tok), jnp.asarray(tls, dtype=jnp.int32),
-            jnp.asarray(pf), jnp.asarray(emb), jnp.asarray(pfl)))
+            m.flow_params, put(tok), put(tls, dtype=jnp.int32),
+            put(pf), put(emb), put(pfl)))
         # vocoder: repack each row's generated region, one batched call
         Ls = [ratio * tls[i] - int(pfl[i]) for i in range(B)]
         Lmax = round_up(max(Ls), 32)
         gen = np.zeros((B, Lmax, n_mel), np.float32)
         for i in range(B):
             gen[i, :Ls[i]] = mel[i, pfl[i]: ratio * tls[i]]
-        wav, _ = self._hift_batch(m.hift_params, jnp.asarray(gen),
+        wav, _ = self._hift_batch(m.hift_params, put(gen),
                                   jax.random.fold_in(rng, 1))
         wav = np.asarray(wav)
-        return [wav[i, : Ls[i] * m.hop_samples] for i in range(B)]
+        return [wav[i, : Ls[i] * m.hop_samples] for i in range(orig_B)]
 
 
 @dataclass

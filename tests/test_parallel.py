@@ -115,3 +115,68 @@ def test_cosine_annealing_matches_reference():
             assert got == pytest.approx(want, rel=1e-5, abs=1e-9), (step, want, got)
         opt.step()
         ref.step()
+
+
+def test_lm_generate_tp_dp_sharded_matches_single_device():
+    """Serving decode under GSPMD: lm_generate with DP(4)xTP(2)-sharded
+    params and a data-sharded batch produces token-for-token the unsharded
+    greedy output — the multi-chip serving path (BASELINE scaling axis)."""
+    from cosyvoice_tpu.models.llm import (LMConfig, Qwen2LM, SamplingConfig,
+                                          lm_generate)
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+
+    qwen = Qwen2Config(vocab_size=120, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=2, head_dim=8,
+                       intermediate_size=64, rope_theta=10000.0)
+    cfg = LMConfig(llm_input_size=32, llm_output_size=32, speech_token_size=24,
+                   qwen=qwen, sampling=SamplingConfig(method="greedy"))
+    model = Qwen2LM(cfg)
+    rng = np.random.default_rng(2)
+    B = 4
+    text = jnp.asarray(rng.integers(0, 120, (B, 6)))
+    tl = jnp.asarray([6, 4, 5, 3])
+    params = model.init(jax.random.PRNGKey(0), text, tl, text, tl)
+    psp = jnp.asarray(rng.integers(0, 24, (B, 4)))
+    args = (text, tl, psp, jnp.asarray([4, 2, 3, 4]), jnp.asarray([4] * B),
+            jnp.asarray([20] * B), jax.random.PRNGKey(0))
+    out_a, cnt_a = lm_generate(model, params, *args, max_steps=24, cache_len=64)
+
+    mesh = make_mesh(data=4, model=2)
+    sparams, _ = shard_params(params, mesh, LM_RULES)
+    from jax.sharding import NamedSharding
+    dsh = NamedSharding(mesh, P("data"))
+    sargs = tuple(jax.device_put(a, dsh) if getattr(a, "ndim", 0) >= 1
+                  and a.shape[0] == B else a for a in args)
+    out_b, cnt_b = lm_generate(model, sparams, *sargs, max_steps=24, cache_len=64)
+    np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_batched_synthesizer_on_mesh_matches_single_device():
+    """Full serving stack on a DP(4)xTP(2) mesh == single-device outputs
+    (greedy LM, deterministic vocoder); batch rows pad up to the data axis."""
+    from cosyvoice_tpu.models.llm import SamplingConfig
+    from cosyvoice_tpu.runtime.serving import BatchedSynthesizer, TTSRequest
+    from tests.test_runtime import SPEECH_VOCAB, N_MEL, build_tiny_stack
+
+    rng = np.random.default_rng(4)
+    reqs = [TTSRequest(text_tokens=rng.integers(0, 250, n).astype(np.int32),
+                       prompt_text_len=0,
+                       prompt_speech_tokens=rng.integers(0, SPEECH_VOCAB, p).astype(np.int32),
+                       prompt_feat=(rng.standard_normal((2 * p, N_MEL)) * 0.3).astype(np.float32),
+                       embedding=rng.standard_normal(24).astype(np.float32))
+            for n, p in [(16, 4), (11, 2), (8, 6)]]  # 3 rows -> pads to 4
+    kw = dict(text_bucket=8, speech_bucket=8)
+    m1 = build_tiny_stack(sampling=SamplingConfig(method="greedy"),
+                          deterministic_hift=True)
+    want = BatchedSynthesizer(m1, **kw).synthesize_batch(
+        reqs, rng=jax.random.PRNGKey(2))
+    m2 = build_tiny_stack(sampling=SamplingConfig(method="greedy"),
+                          deterministic_hift=True)
+    got = BatchedSynthesizer(m2, mesh=make_mesh(data=4, model=2),
+                             **kw).synthesize_batch(reqs, rng=jax.random.PRNGKey(2))
+    assert len(got) == len(reqs)
+    for i in range(len(reqs)):
+        assert got[i].shape == want[i].shape
+        np.testing.assert_allclose(got[i], want[i], atol=2e-3, rtol=1e-3,
+                                   err_msg=f"request {i}")
