@@ -268,7 +268,12 @@ class ServingEngine:
     speech_bucket: int = 64
 
     def generate(self, requests: Sequence[GenRequest], rng=None,
-                 on_tokens: Optional[Callable] = None) -> list[np.ndarray]:
+                 on_tokens: Optional[Callable] = None,
+                 on_segment: Optional[Callable] = None) -> list[np.ndarray]:
+        """on_tokens(request_index, new_tokens, done) fires per slot after
+        each segment; on_segment() fires once per segment AFTER all of the
+        segment's on_tokens — the flush point for consumers that batch work
+        across requests (e.g. batched flow chunks)."""
         cfg = self.model.cfg
         dtype = jax.tree.leaves(self.params)[0].dtype
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -327,4 +332,6 @@ class ServingEngine:
                     results[idx] = out[slot, :c].copy()
                     del slot_req[slot], seen[slot]
                     free.append(slot)
+            if on_segment is not None:
+                on_segment()
         return results  # type: ignore[return-value]

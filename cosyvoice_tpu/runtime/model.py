@@ -162,6 +162,13 @@ class CosyVoice2Model:
                   speed: float = 1.0) -> np.ndarray:
         mel = self._flow_chunk(tokens, prompt_tokens, prompt_feat, embedding,
                                token_offset, streaming=not finalize)
+        return self.mel2wav(mel, session, finalize, speed)
+
+    def mel2wav(self, mel: np.ndarray, session: dict, finalize: bool,
+                speed: float = 1.0) -> np.ndarray:
+        """Vocode one chunk's generated mel with the session's fade caches
+        (the second half of token2wav; split out so batched-serving paths can
+        run the flow stage batched and cache-splice per session here)."""
         cache = session.get("hift")
         if cache is not None:
             mel = np.concatenate([cache["mel"], mel], axis=0)

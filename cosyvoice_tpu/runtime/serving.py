@@ -173,6 +173,14 @@ class ContinuousSynthesizer:
     receives (request_index, wav_chunk, final) as chunks materialize — the
     continuous analog of the reference's per-session producer thread +
     consumer poll (cli/model.py:177-238).
+
+    With batch_chunks (default) all chunk jobs that become ready at a segment
+    boundary run as ONE ragged-batched flow call per streaming group (the
+    10-step CFM is the expensive stage; estimator weights are read once for
+    the whole group instead of once per request); vocoding stays per-session
+    for the fade caches.  Requires the pad-invariant estimator inference
+    (exact_pad_mask), so batched outputs match the sequential path to fp
+    tolerance.
     """
 
     model: CosyVoice2Model
@@ -181,6 +189,61 @@ class ContinuousSynthesizer:
     max_out: int = 768
     text_bucket: int = 32
     speech_bucket: int = 64
+    batch_chunks: bool = True
+
+    def __post_init__(self):
+        flow_model = self.model.flow
+
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnames=("streaming",))
+        def _flow_ragged(params, token, token_len, prompt_feat, emb, pfl,
+                         streaming=False):
+            return flow_model.apply(params, token, token_len, prompt_feat,
+                                    emb, prompt_feat_len=pfl,
+                                    streaming=streaming,
+                                    method=type(flow_model).inference)
+
+        self._flow_ragged = _flow_ragged
+
+    def _flush_group(self, jobs, requests, sessions, emit, streaming: bool):
+        """One ragged-batched flow call over `jobs`, then per-session vocode.
+
+        Every job's mel is sliced exactly as the sequential token2wav does:
+        generated region starts at the prompt-feat rows, valid length is
+        ratio*(n_tokens - n_prompt_tokens), chunk begins at offset*ratio.
+        """
+        m = self.model
+        ratio = m.ratio
+        n_mel = m.flow.cfg.output_size
+        B = len(jobs)
+        tls, toks = [], []
+        for idx, tok, off, fin in jobs:
+            ps = requests[idx].prompt_speech_tokens
+            toks.append(np.concatenate([ps, tok]).astype(np.int32))
+            tls.append(len(toks[-1]))
+        bucket = max(round_up(max(tls), m.token_hop_len), m.token_hop_len)
+        tokm = np.zeros((B, bucket), np.int32)
+        pfl = np.zeros(B, np.int32)
+        Pmax = max(requests[j[0]].prompt_feat.shape[0] for j in jobs)
+        pf = np.zeros((B, Pmax, n_mel), np.float32)
+        emb = np.stack([np.asarray(requests[j[0]].embedding, np.float32)
+                        for j in jobs])
+        for i, (idx, tok, off, fin) in enumerate(jobs):
+            tokm[i, :tls[i]] = toks[i]
+            r = requests[idx]
+            pfl[i] = r.prompt_feat.shape[0]
+            pf[i, :pfl[i]] = r.prompt_feat
+        mel = np.asarray(self._flow_ragged(
+            m.flow_params, jnp.asarray(tokm), jnp.asarray(tls, dtype=jnp.int32),
+            jnp.asarray(pf), jnp.asarray(emb), jnp.asarray(pfl),
+            streaming=streaming))
+        for i, (idx, tok, off, fin) in enumerate(jobs):
+            plen = len(requests[idx].prompt_speech_tokens)
+            start = int(pfl[i])
+            valid = ratio * (tls[i] - plen)
+            gen = mel[i, start + off * ratio: start + valid]
+            emit(idx, m.mel2wav(gen, sessions[idx], finalize=fin), fin)
 
     def synthesize_batch(self, requests: Sequence[TTSRequest], rng=None,
                          on_chunk=None) -> list[np.ndarray]:
@@ -200,6 +263,7 @@ class ContinuousSynthesizer:
         offset = [0] * len(requests)
         sessions: list[dict] = [{"hift": None} for _ in requests]
         chunks: list[list[np.ndarray]] = [[] for _ in requests]
+        jobs: list[tuple] = []  # (idx, tokens_so_far, offset, finalize)
 
         def emit(idx: int, wav: np.ndarray, final: bool):
             chunks[idx].append(wav)
@@ -207,20 +271,34 @@ class ContinuousSynthesizer:
                 on_chunk(idx, wav, final)
 
         def on_tokens(idx: int, new: np.ndarray, fin: bool):
-            r = requests[idx]
             tokens[idx].extend(new.tolist())
             tok = np.asarray(tokens[idx], np.int32)
             while len(tok) - offset[idx] >= hop + la:
-                wav = m.token2wav(tok[: offset[idx] + hop + la],
-                                  r.prompt_speech_tokens, r.prompt_feat,
-                                  r.embedding, offset[idx], sessions[idx],
-                                  finalize=False)
+                jobs.append((idx, tok[: offset[idx] + hop + la], offset[idx],
+                             False))
                 offset[idx] += hop
-                emit(idx, wav, final=False)
             if fin:
-                emit(idx, m.token2wav(tok, r.prompt_speech_tokens,
-                                      r.prompt_feat, r.embedding, offset[idx],
-                                      sessions[idx], finalize=True), final=True)
+                jobs.append((idx, tok, offset[idx], True))
 
-        engine.generate(genreqs, rng=rng, on_tokens=on_tokens)
+        def on_segment():
+            if not jobs:
+                return
+            if not self.batch_chunks:
+                for idx, tok, off, fin in jobs:
+                    r = requests[idx]
+                    emit(idx, m.token2wav(tok, r.prompt_speech_tokens,
+                                          r.prompt_feat, r.embedding, off,
+                                          sessions[idx], finalize=fin), fin)
+            else:
+                # non-final first: a request can have both in one segment,
+                # and its stream chunks precede its final chunk
+                for streaming in (True, False):
+                    grp = [j for j in jobs if j[3] != streaming]
+                    if grp:
+                        self._flush_group(grp, requests, sessions, emit,
+                                          streaming=streaming)
+            jobs.clear()
+
+        engine.generate(genreqs, rng=rng, on_tokens=on_tokens,
+                        on_segment=on_segment)
         return [np.concatenate(c) for c in chunks]

@@ -85,11 +85,13 @@ def test_engine_more_requests_than_slots_all_finish():
         np.testing.assert_array_equal(got[i], want, err_msg=f"request {i}")
 
 
-def test_continuous_synthesizer_matches_sequential_stream():
+@pytest.mark.parametrize("batch_chunks", [True, False])
+def test_continuous_synthesizer_matches_sequential_stream(batch_chunks):
     """Full TTS under continuous batching: two interleaved requests produce
-    exactly the waveform model.tts(stream=True) produces for each in
-    isolation (greedy LM; session-scoped vocoder noise makes the vocoder
-    independent of interleaving)."""
+    the waveform model.tts(stream=True) produces for each in isolation
+    (greedy LM; session-scoped vocoder noise makes the vocoder independent
+    of interleaving) — with chunk jobs flushed as ragged flow batches
+    (batch_chunks) or as sequential token2wav calls."""
     from cosyvoice_tpu.models.llm import SamplingConfig as SC
     from cosyvoice_tpu.runtime.serving import ContinuousSynthesizer, TTSRequest
     from tests.test_runtime import SPEECH_VOCAB, N_MEL, build_tiny_stack
@@ -118,7 +120,8 @@ def test_continuous_synthesizer_matches_sequential_stream():
 
     synth = ContinuousSynthesizer(m, num_slots=2, cache_len=256,
                                   max_out=m.max_decode_tokens,
-                                  text_bucket=16, speech_bucket=8)
+                                  text_bucket=16, speech_bucket=8,
+                                  batch_chunks=batch_chunks)
     got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(2),
                                  on_chunk=on_chunk)
     assert {i for i, _, f in seen if f} == {0, 1}
@@ -130,5 +133,7 @@ def test_continuous_synthesizer_matches_sequential_stream():
             flow_prompt_speech_token=r.prompt_speech_tokens,
             prompt_speech_feat=r.prompt_feat, flow_embedding=r.embedding,
             stream=True, rng=jax.random.PRNGKey(9))])
-        np.testing.assert_allclose(got[i], want, atol=1e-5, rtol=1e-5,
+        # batched ragged flow chunks reassociate fp ops vs the sequential
+        # B=1 calls; tokens are exactly equal, wavs to fp tolerance
+        np.testing.assert_allclose(got[i], want, atol=1e-4, rtol=1e-4,
                                    err_msg=f"request {i}")
