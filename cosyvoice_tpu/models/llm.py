@@ -555,8 +555,14 @@ class StreamState(NamedTuple):
     max_len: jax.Array
 
 
-def _decode_machinery(model, params, seq_len, Tp, cache_len, max_steps):
-    """Shared sample/advance closures (same math as lm_generate_from_embeds)."""
+def _sample_advance(model, params):
+    """The per-step sample/advance closures, shared by every decode driver
+    (one-shot lm_generate, chunked streaming, and the continuous-batching
+    engine).  Work on any state NamedTuple carrying {cache, prev_emb, step,
+    count, done, out, recent, recent_n, rng}; `step` may be a scalar (whole
+    batch in lockstep) or a [B] vector (per-slot engine) — the math
+    broadcasts either way, which is what keeps engine decode token-identical
+    to lm_generate."""
     cfg = model.cfg
     eos = cfg.eos_token
     cls = type(model)
@@ -566,6 +572,8 @@ def _decode_machinery(model, params, seq_len, Tp, cache_len, max_steps):
         logits = model.apply(params, hidden_last, method=cls.decode_logits)
         logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
         suppress = state.step < min_len
+        if suppress.ndim == 0:
+            suppress = suppress[None]
         logp = jnp.where(suppress[:, None] & (jnp.arange(logp.shape[-1])[None] == eos),
                          NEG_INF, logp)
         rng, k = jax.random.split(state.rng)
@@ -586,6 +594,15 @@ def _decode_machinery(model, params, seq_len, Tp, cache_len, max_steps):
         return state._replace(prev_emb=prev_emb, step=state.step + 1,
                               count=state.count + emitted, done=done, out=out,
                               recent=recent, recent_n=recent_n, rng=rng)
+
+    return sample_from, advance
+
+
+def _decode_machinery(model, params, seq_len, Tp, cache_len, max_steps):
+    """sample/advance + the lockstep decode body (same prefix Tp per row)."""
+    cfg = model.cfg
+    cls = type(model)
+    sample_from, advance = _sample_advance(model, params)
 
     def body(state, min_len, max_len):
         pos = (seq_len + state.step - 1)[:, None]

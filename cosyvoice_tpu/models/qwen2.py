@@ -258,7 +258,13 @@ class Qwen2Model(nn.Module):
         """embeds [B, T, D], positions [B, T], attn_bias [B, 1, T, Tk].
 
         With a cache: writes K/V at cache.pos and attends over the whole
-        cache buffer (bias must mask unwritten tail).  Returns
+        cache buffer (bias must mask unwritten tail).  cache.pos may be a
+        [B] vector (per-row frontiers, continuous-batching decode) when
+        T == 1.  INVARIANT (fused_cache_update only): multi-token calls
+        (T > 1) must be the cache's FIRST write — cache.pos == 0 — because
+        the packed-layout prefill attends only over the current tokens and
+        slices the bias to [..., :T]; a chunked prefill at pos > 0 would
+        silently ignore the earlier cached keys.  Returns
         (hidden [B, T, D] final-normed, new_cache).
         """
         cfg = self.cfg

@@ -15,14 +15,16 @@ Per cell and head:  S = q_chunk k^T (fp32 accum) + pad-bias row -> softmax
 -> (P@V)/l.  Forward-only: training uses the reference-faithful XLA path.
 
 The softmax skips the max-subtraction pass: exp ratios are invariant to the
-shift, so it only exists for overflow safety, and a clamp at 60 (exp(60) ~
-1e26; a whole-row fp32 sum stays < 1e30) provides that in one VPU op instead
-of two whole-tile passes (max-reduce + subtract).  The kernel is VPU-bound
-on exactly these passes (D=64 makes the MXU work ~6x cheaper than the
-softmax), so this is worth ~14% wall time.  Scores only reach the clamp if
-|q.k|/8 > 60, far outside LayerNorm'd activations; at the clamp the kernel
-degrades to a uniform average over the clamped keys, same as a saturated
-softmax.  Pad-key bias stays -1e9 -> exp gives exactly 0.
+shift, so it only exists for overflow safety, and a clamp at 75 (exp(75) ~
+2.7e32; a whole-row fp32 sum over T<=4096 stays < ~1.1e36 << fp32 max)
+provides that in one VPU op instead of two whole-tile passes (max-reduce +
+subtract).  The kernel is VPU-bound on exactly these passes (D=64 makes the
+MXU work ~6x cheaper than the softmax), so this is worth ~14% wall time.
+Scores only reach the clamp if |q.k|/8 > 75, far outside LayerNorm'd
+activations; distortion needs TWO+ keys past the clamp (one clamped winner
+saturates to weight ~1 exactly as true softmax would).  The divide is
+floored at 1e-30 so an all-underflow row yields zeros, not NaN.  Pad-key
+bias stays -1e9 -> exp gives exactly 0.
 """
 from __future__ import annotations
 
@@ -50,8 +52,8 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *,
         v = v_ref[0, :, sl]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
-        p = jnp.exp(jnp.minimum(s + bias, 60.0))
-        l = jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(jnp.minimum(s + bias, 75.0))
+        l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
         o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)

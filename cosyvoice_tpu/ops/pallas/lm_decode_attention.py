@@ -25,17 +25,22 @@ tail: the time axis is a grid dimension whose index_map CLAMPS at the chunk
 containing `pos` — Pallas skips the DMA when consecutive grid cells map to
 the same block, so chunks beyond the frontier are fetched zero times.  The
 softmax runs WITHOUT the max-subtraction pass (exp ratios are shift
-invariant; a clamp at 60 bounds overflow — see dit_attention.py), which makes
-cross-chunk accumulation purely additive: no online rescaling, just
-o_acc += p V and l_acc += sum p in fp32 VMEM scratch.
+invariant; a clamp at 75 bounds overflow: exp(75)~2.7e32, a whole-row fp32
+sum over T<=4096 keys stays <~1.1e36 << 3.4e38), which makes cross-chunk
+accumulation purely additive: no online rescaling, just o_acc += p V and
+l_acc += sum p in fp32 VMEM scratch.  The clamp only distorts when TWO OR
+MORE keys' scaled logits exceed 75 (|q.k| > 600 at D=64 — far outside
+RMSNorm'd activations; single-key saturation is exact because softmax of one
+clamped winner is ~1 either way); the division is floored at 1e-30 so an
+all-underflow row (every score < ~-87) degrades to zeros, not NaN.
 
 Per (batch-cell, chunk) and kv head g (static unroll):
   s      = q_g kc_g^T * scale + bias   (fp32; bias masks pad rows, the kernel
                                         additionally masks j >= pos)
-  p      = exp(min(s, 60));  o_acc += p vc_g;  l_acc += sum p
+  p      = exp(min(s, 75));  o_acc += p vc_g;  l_acc += sum p
 and at the last chunk:
-  s_self = q_g . k_new_g * scale;  p_self = exp(min(s_self, 60))
-  o_g    = (o_acc + p_self v_new_g) / (l_acc + p_self)
+  s_self = q_g . k_new_g * scale;  p_self = exp(min(s_self, 75))
+  o_g    = (o_acc + p_self v_new_g) / max(l_acc + p_self, 1e-30)
 then RMW the aligned 8-row window of ck/cv with the new K/V at row pos%8.
 """
 from __future__ import annotations
@@ -82,7 +87,7 @@ def _kernel(pos_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref, bias_ref,
                 qg = q_ref[bb, :, sl]                      # [G, D]
                 s = jax.lax.dot_general(qg, kc[:, sl], (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-                p = jnp.exp(jnp.minimum(s * sm_scale + bias, 60.0))
+                p = jnp.exp(jnp.minimum(s * sm_scale + bias, 75.0))
                 o = jax.lax.dot_general(p.astype(vc.dtype), vc[:, sl],
                                         (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
@@ -104,8 +109,8 @@ def _kernel(pos_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref, bias_ref,
                 s_self = jnp.sum(qg.astype(jnp.float32)
                                  * kn[:, sl].astype(jnp.float32),
                                  axis=1, keepdims=True) * sm_scale
-                p_self = jnp.exp(jnp.minimum(s_self, 60.0))
-                l = l_acc[bb, g][:, :1] + p_self
+                p_self = jnp.exp(jnp.minimum(s_self, 75.0))
+                l = jnp.maximum(l_acc[bb, g][:, :1] + p_self, 1e-30)
                 o = o_acc[bb, :, sl] + p_self * vn[:, sl].astype(jnp.float32)
                 o_ref[bb, :, sl] = (o / l).astype(o_ref.dtype)
             # in-place append: RMW the aligned 8-row window around pos.

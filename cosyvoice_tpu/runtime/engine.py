@@ -42,9 +42,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cosyvoice_tpu.models.llm import _sample, Qwen2LM
+from cosyvoice_tpu.models.llm import Qwen2LM, _sample, _sample_advance
 from cosyvoice_tpu.models.qwen2 import KVCache, causal_prefill_bias
 from cosyvoice_tpu.ops.masks import NEG_INF
+from cosyvoice_tpu.runtime.model import round_up
 
 
 class EngineState(NamedTuple):
@@ -82,39 +83,6 @@ def engine_init(model: Qwen2LM, num_slots: int, cache_len: int, max_out: int,
         min_len=jnp.zeros((S,), jnp.int32),
         max_len=jnp.full((S,), 1, jnp.int32),
         rng=rng)
-
-
-def _row_sample(model, params, cfg, hidden_last, st: EngineState):
-    """Sample one token per slot from last hidden; per-row min_len EOS mask."""
-    logits = model.apply(params, hidden_last, method=type(model).decode_logits)
-    logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
-    suppress = st.step < st.min_len
-    eos = cfg.eos_token
-    logp = jnp.where(suppress[:, None] & (jnp.arange(logp.shape[-1])[None] == eos),
-                     NEG_INF, logp)
-    rng, k = jax.random.split(st.rng)
-    win = cfg.sampling.win_size
-    rv = jnp.arange(win)[None] < st.recent_n[:, None]
-    tok = _sample(cfg.sampling, k, logp, st.recent, rv)
-    return tok, rng
-
-
-def _row_advance(model, params, cfg, st: EngineState, tok) -> EngineState:
-    """Per-row version of models/llm advance: emit, roll RAS window, flag done."""
-    eos = cfg.eos_token
-    win = cfg.sampling.win_size
-    emitted = (tok < eos) & ~st.done
-    done = st.done | (tok == eos) | (st.step + 1 >= st.max_len)
-    out = jax.vmap(lambda o, c, t, e: jnp.where(e, o.at[c].set(t), o))(
-        st.out, st.count, tok, emitted)
-    recent = jax.vmap(lambda r, t, e: jnp.where(e, jnp.roll(r, -1).at[-1].set(t), r))(
-        st.recent, tok, emitted)
-    recent_n = jnp.minimum(st.recent_n + emitted, win)
-    new_emb = model.apply(params, tok[:, None], method=type(model).speech_emb)
-    prev_emb = jnp.where(emitted[:, None, None], new_emb, st.prev_emb)
-    return st._replace(prev_emb=prev_emb, step=st.step + 1,
-                       count=st.count + emitted, done=done, out=out,
-                       recent=recent, recent_n=recent_n)
 
 
 @partial(jax.jit, static_argnames=("model",), donate_argnames=("state",))
@@ -207,6 +175,8 @@ def engine_decode_segment(model: Qwen2LM, params, state: EngineState,
         else state.cache.k[0].shape[1]
     start = state.step
 
+    sample_from, advance = _sample_advance(model, params)
+
     def body(st: EngineState) -> EngineState:
         # freeze done rows' frontiers (their writes land in one scratch row)
         pos0 = jnp.minimum(st.cache.pos, cache_len - 1)
@@ -217,9 +187,8 @@ def engine_decode_segment(model: Qwen2LM, params, state: EngineState,
             params, st.prev_emb, pos0[:, None],
             bias, st.cache._replace(pos=pos0), method=cls.forward_hidden)
         cache = cache._replace(pos=jnp.where(st.done, pos0, pos0 + 1))
-        tok, rng = _row_sample(model, params, cfg, hidden, st)
-        return _row_advance(model, params, cfg,
-                            st._replace(cache=cache, rng=rng), tok)
+        tok, rng = sample_from(hidden, st, st.min_len)
+        return advance(st._replace(cache=cache), tok, rng, st.max_len)
 
     def cond(st: EngineState):
         return (~jnp.all(st.done)) & jnp.any(st.step - start < n_steps)
@@ -240,10 +209,6 @@ class GenRequest:
     min_len: Optional[int] = None    # default 2x / 20x new-text len
     max_len: Optional[int] = None
     new_text_len: Optional[int] = None  # len basis for min/max (default: all)
-
-
-def _round_up(n: int, m: int) -> int:
-    return max(m, (n + m - 1) // m * m)
 
 
 @dataclass
@@ -294,8 +259,8 @@ class ServingEngine:
             mx = r.max_len if r.max_len is not None else \
                 int(cfg.max_token_text_ratio * ntl)
             mx = min(mx, self.max_out)
-            Tt = _round_up(len(tt), self.text_bucket)
-            Ts = _round_up(max(len(ps), 1), self.speech_bucket)
+            Tt = round_up(max(len(tt), 1), self.text_bucket)
+            Ts = round_up(max(len(ps), 1), self.speech_bucket)
             assert 2 + Tt + Ts + mx <= self.cache_len, \
                 f"request needs {2 + Tt + Ts + mx} cache rows > {self.cache_len}"
             text = np.zeros(Tt, np.int32)

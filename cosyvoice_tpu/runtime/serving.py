@@ -15,7 +15,9 @@ A network front-end (gRPC/HTTP) wraps `synthesize_batch` unchanged.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -26,6 +28,21 @@ from cosyvoice_tpu.models.flow import CausalMaskedDiffWithXvec
 from cosyvoice_tpu.models.hift import HiFTGenerator
 from cosyvoice_tpu.models.llm import lm_generate
 from cosyvoice_tpu.runtime.model import CosyVoice2Model, round_up
+
+
+@functools.lru_cache(maxsize=None)
+def _make_flow_ragged(flow_model):
+    """One jitted ragged-batched flow program per flow module (cached so the
+    batched and continuous synthesizers over the same model share compiles)."""
+
+    @partial(jax.jit, static_argnames=("streaming",))
+    def _flow_ragged(params, token, token_len, prompt_feat, emb, pfl,
+                     streaming=False):
+        return flow_model.apply(params, token, token_len, prompt_feat, emb,
+                                prompt_feat_len=pfl, streaming=streaming,
+                                method=type(flow_model).inference)
+
+    return _flow_ragged
 
 
 @dataclass
@@ -66,17 +83,11 @@ class BatchedSynthesizer:
             self._data_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
 
         @jax.jit
-        def _flow_ragged(params, token, token_len, prompt_feat, emb, pfl):
-            return flow_model.apply(params, token, token_len, prompt_feat,
-                                    emb, prompt_feat_len=pfl,
-                                    method=type(flow_model).inference)
-
-        @jax.jit
         def _hift_batch(params, mel, rng):
             return hift_model.apply(params, mel, rngs={"noise": rng},
                                     method=type(hift_model).inference)
 
-        self._flow_ragged = _flow_ragged
+        self._flow_ragged = _make_flow_ragged(flow_model)
         self._hift_batch = _hift_batch
 
     def synthesize_batch(self, requests: Sequence[TTSRequest],
@@ -186,25 +197,15 @@ class ContinuousSynthesizer:
     model: CosyVoice2Model
     num_slots: int = 8
     cache_len: int = 1024
-    max_out: int = 768
+    # per-request token cap; None = the model's max_decode_tokens, so the
+    # engine never truncates below what the sequential tts() path allows
+    max_out: Optional[int] = None
     text_bucket: int = 32
     speech_bucket: int = 64
     batch_chunks: bool = True
 
     def __post_init__(self):
-        flow_model = self.model.flow
-
-        from functools import partial as _partial
-
-        @_partial(jax.jit, static_argnames=("streaming",))
-        def _flow_ragged(params, token, token_len, prompt_feat, emb, pfl,
-                         streaming=False):
-            return flow_model.apply(params, token, token_len, prompt_feat,
-                                    emb, prompt_feat_len=pfl,
-                                    streaming=streaming,
-                                    method=type(flow_model).inference)
-
-        self._flow_ragged = _flow_ragged
+        self._flow_ragged = _make_flow_ragged(self.model.flow)
 
     def _flush_group(self, jobs, requests, sessions, emit, streaming: bool):
         """One ragged-batched flow call over `jobs`, then per-session vocode.
@@ -252,7 +253,8 @@ class ContinuousSynthesizer:
         m = self.model
         hop, la = m.token_hop_len, m.pre_lookahead_len
         engine = ServingEngine(m.llm, m.llm_params, num_slots=self.num_slots,
-                               cache_len=self.cache_len, max_out=self.max_out,
+                               cache_len=self.cache_len,
+                               max_out=self.max_out or m.max_decode_tokens,
                                segment_steps=hop, text_bucket=self.text_bucket,
                                speech_bucket=self.speech_bucket)
         genreqs = [GenRequest(text=np.asarray(r.text_tokens, np.int32),
