@@ -275,12 +275,9 @@ class ServingEngine:
                                 jnp.asarray(len(ps), jnp.int32),
                                 jnp.asarray(mn, jnp.int32), jnp.asarray(mx, jnp.int32))
 
-        while pending or slot_req:
-            while free and pending:
-                idx, r = pending.popleft()
-                state = admit(free.pop(), idx, r)
-            state = engine_decode_segment(self.model, self.params, state,
-                                          self.segment_steps)
+        def harvest():
+            """Blocks on the in-flight segment; streams new tokens, frees
+            finished slots."""
             count = np.asarray(state.count)
             done = np.asarray(state.done)
             out = np.asarray(state.out)
@@ -297,6 +294,27 @@ class ServingEngine:
                     results[idx] = out[slot, :c].copy()
                     del slot_req[slot], seen[slot]
                     free.append(slot)
+
+        # dispatch-ahead pipeline: exactly one segment is in flight; after
+        # harvesting it, the next segment (plus any admissions) is dispatched
+        # BEFORE on_segment fires, so the decode device is already working
+        # while the consumer's flow/vocoder jobs run — true stage overlap
+        # when the consumer computes on a different chip, free host/device
+        # overlap on one chip.
+        while free and pending:
+            idx, r = pending.popleft()
+            state = admit(free.pop(), idx, r)
+        if slot_req:
+            state = engine_decode_segment(self.model, self.params, state,
+                                          self.segment_steps)
+        while slot_req:
+            harvest()
+            while free and pending:
+                idx, r = pending.popleft()
+                state = admit(free.pop(), idx, r)
+            if slot_req:
+                state = engine_decode_segment(self.model, self.params, state,
+                                              self.segment_steps)
             if on_segment is not None:
                 on_segment()
         return results  # type: ignore[return-value]

@@ -203,9 +203,19 @@ class ContinuousSynthesizer:
     text_bucket: int = 32
     speech_bucket: int = 64
     batch_chunks: bool = True
+    # place flow+vocoder on a different chip than the LM: their params move
+    # there and every chunk jit dispatches there, so chunk synthesis runs
+    # CONCURRENTLY with the next decode segment (the engine dispatches ahead)
+    # — two-chip stage pipelining, the reference's producer-thread/consumer
+    # split across devices instead of across Python threads
+    flow_device: Optional[object] = None
 
     def __post_init__(self):
         self._flow_ragged = _make_flow_ragged(self.model.flow)
+        if self.flow_device is not None:
+            m = self.model
+            m.flow_params = jax.device_put(m.flow_params, self.flow_device)
+            m.hift_params = jax.device_put(m.hift_params, self.flow_device)
 
     def _flush_group(self, jobs, requests, sessions, emit, streaming: bool):
         """One ragged-batched flow call over `jobs`, then per-session vocode.
@@ -282,9 +292,7 @@ class ContinuousSynthesizer:
             if fin:
                 jobs.append((idx, tok, offset[idx], True))
 
-        def on_segment():
-            if not jobs:
-                return
+        def flush():
             if not self.batch_chunks:
                 for idx, tok, off, fin in jobs:
                     r = requests[idx]
@@ -300,6 +308,18 @@ class ContinuousSynthesizer:
                         self._flush_group(grp, requests, sessions, emit,
                                           streaming=streaming)
             jobs.clear()
+
+        def on_segment():
+            if not jobs:
+                return
+            if self.flow_device is not None:
+                # chunk jits (and their operands) go to the flow chip; the
+                # engine has already dispatched the next decode segment on
+                # the LM chip, so the two stages execute concurrently
+                with jax.default_device(self.flow_device):
+                    flush()
+            else:
+                flush()
 
         engine.generate(genreqs, rng=rng, on_tokens=on_tokens,
                         on_segment=on_segment)

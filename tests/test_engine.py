@@ -137,3 +137,29 @@ def test_continuous_synthesizer_matches_sequential_stream(batch_chunks):
         # B=1 calls; tokens are exactly equal, wavs to fp tolerance
         np.testing.assert_allclose(got[i], want, atol=1e-4, rtol=1e-4,
                                    err_msg=f"request {i}")
+
+
+def test_continuous_synthesizer_flow_on_second_device():
+    """Two-chip stage pipelining: flow+vocoder placed on a second device
+    still produces finite, correctly-shaped streaming output (numerics are
+    device-placement-invariant on the CPU mesh)."""
+    from cosyvoice_tpu.models.llm import SamplingConfig as SC
+    from cosyvoice_tpu.runtime.serving import ContinuousSynthesizer, TTSRequest
+    from tests.test_runtime import SPEECH_VOCAB, N_MEL, build_tiny_stack
+
+    m = build_tiny_stack(sampling=SC(method="greedy"), deterministic_hift=True)
+    rng = np.random.default_rng(6)
+    reqs = [TTSRequest(text_tokens=rng.integers(0, 300, 8).astype(np.int32),
+                       prompt_text_len=0,
+                       prompt_speech_tokens=rng.integers(0, SPEECH_VOCAB, 4).astype(np.int32),
+                       prompt_feat=(rng.standard_normal((8, N_MEL)) * 0.3).astype(np.float32),
+                       embedding=rng.standard_normal(24).astype(np.float32))]
+    base = ContinuousSynthesizer(m, num_slots=2, cache_len=256,
+                                 text_bucket=16, speech_bucket=8)
+    want = base.synthesize_batch(reqs, rng=jax.random.PRNGKey(3))
+    m2 = build_tiny_stack(sampling=SC(method="greedy"), deterministic_hift=True)
+    synth = ContinuousSynthesizer(m2, num_slots=2, cache_len=256,
+                                  text_bucket=16, speech_bucket=8,
+                                  flow_device=jax.devices()[1])
+    got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(got[0], want[0], atol=1e-5, rtol=1e-5)
