@@ -1,0 +1,207 @@
+"""Minimal production HTTP front-end for CosyVoice2 TTS (stdlib only).
+
+The reference exposes serving through external engines (sglang/vLLM servers
+for the LM only, `cosyvoice/llm/llm.py:2094-2716`); the full text->wav
+service layer is left to the user.  This module provides that layer for the
+TPU stack: a threaded HTTP server in front of a single synthesis worker
+(the accelerator serializes work anyway, so one worker thread owns all jit
+dispatch and requests queue in order).
+
+Endpoints (JSON in, WAV out):
+  GET  /health                     -> {"status": "ok"}
+  POST /tts/sft                    {"text", "spk_id", "stream"?}
+  POST /tts/zero_shot              {"text", "prompt_text",
+                                    "prompt_wav_b64"  (base64 f32le PCM @16k)
+                                    | "prompt_wav": [floats], "stream"?}
+  POST /tts/cross_lingual          {"text", prompt wav as above}
+  POST /tts/instruct2              {"text", "instruct_text", prompt wav}
+
+Non-stream responses are a complete RIFF/WAV (16-bit PCM, model sample
+rate); with "stream": true the response is chunked WAV with an unbounded
+data-size header (players treat it as a live stream), one chunk per
+synthesis hop — first audio after ~2 s of generated speech, matching the
+reference's streaming contract.
+
+Run: python -m cosyvoice_tpu.bin.serve --model_dir ... [--port 8080]
+     [--fp16] [--quant int8]
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import queue
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+MODES = {"sft", "zero_shot", "cross_lingual", "instruct2"}
+
+
+def wav_header(sample_rate: int, num_samples: int = -1) -> bytes:
+    """RIFF header for 16-bit mono PCM; num_samples=-1 -> streaming sizes."""
+    data_bytes = 0xFFFFFFFF - 44 if num_samples < 0 else 2 * num_samples
+    return (b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    2 * sample_rate, 2, 16)
+            + b"data" + struct.pack("<I", data_bytes))
+
+
+def pcm16(wav: np.ndarray) -> bytes:
+    return (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+def decode_prompt_wav(body: dict) -> np.ndarray:
+    if "prompt_wav_b64" in body:
+        return np.frombuffer(base64.b64decode(body["prompt_wav_b64"]),
+                             dtype="<f4").astype(np.float32)
+    return np.asarray(body.get("prompt_wav", []), np.float32)
+
+
+class SynthesisWorker:
+    """Single thread owning the model: requests run strictly in order.
+
+    Each job is (mode, body, chunk_queue); the worker streams np.ndarray wav
+    chunks into chunk_queue and closes it with None (or an Exception)."""
+
+    def __init__(self, cosyvoice):
+        self.cv = cosyvoice
+        self.jobs: queue.Queue = queue.Queue()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _synthesize(self, mode: str, body: dict):
+        text = body["text"]
+        stream = bool(body.get("stream", False))
+        if mode == "sft":
+            return self.cv.inference_sft(text, body["spk_id"], stream=stream)
+        prompt = decode_prompt_wav(body)
+        if mode == "zero_shot":
+            return self.cv.inference_zero_shot(text, body.get("prompt_text", ""),
+                                               prompt, stream=stream)
+        if mode == "cross_lingual":
+            return self.cv.inference_cross_lingual(text, prompt, stream=stream)
+        if mode == "instruct2":
+            return self.cv.inference_instruct2(text, body["instruct_text"],
+                                               prompt, stream=stream)
+        raise ValueError(f"unknown mode {mode}")
+
+    def _run(self):
+        while True:
+            mode, body, out = self.jobs.get()
+            try:
+                for piece in self._synthesize(mode, body):
+                    out.put(piece["tts_speech"])
+                out.put(None)
+            except Exception as e:  # surfaced as HTTP 500 by the handler
+                out.put(e)
+
+    def submit(self, mode: str, body: dict) -> queue.Queue:
+        out: queue.Queue = queue.Queue()
+        self.jobs.put((mode, body, out))
+        return out
+
+
+def make_handler(worker: SynthesisWorker, sample_rate: int):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json_error(self, code: int, msg: str):
+            data = json.dumps({"error": msg}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path != "/health":
+                return self._json_error(404, "not found")
+            data = json.dumps({"status": "ok"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):
+            mode = self.path.removeprefix("/tts/")
+            if not self.path.startswith("/tts/") or mode not in MODES:
+                return self._json_error(404, "not found")
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._json_error(400, f"bad request: {e}")
+            out = worker.submit(mode, body)
+            if body.get("stream", False):
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                self._chunk(wav_header(sample_rate))
+                while True:
+                    piece = out.get()
+                    if piece is None:
+                        break
+                    if isinstance(piece, Exception):
+                        break  # stream already started; just end it
+                    self._chunk(pcm16(piece))
+                self.wfile.write(b"0\r\n\r\n")
+                return
+            pieces = []
+            while True:
+                piece = out.get()
+                if piece is None:
+                    break
+                if isinstance(piece, Exception):
+                    return self._json_error(500, str(piece))
+                pieces.append(piece)
+            wav = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+            buf = io.BytesIO()
+            buf.write(wav_header(sample_rate, len(wav)))
+            buf.write(pcm16(wav))
+            data = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+    return Handler
+
+
+def serve(cosyvoice, host: str = "0.0.0.0", port: int = 8080):
+    worker = SynthesisWorker(cosyvoice)
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(worker, cosyvoice.sample_rate))
+    return httpd  # caller runs httpd.serve_forever()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--fp16", action="store_true")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    args = ap.parse_args()
+    from cosyvoice_tpu.runtime.api import from_pretrained
+
+    cv = from_pretrained(args.model_dir, fp16=args.fp16, quant=args.quant)
+    httpd = serve(cv, args.host, args.port)
+    print(f"serving on {args.host}:{args.port}", flush=True)
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""HTTP serving front-end: WAV responses (one-shot + chunked streaming)
+over the tiny stack with an injected frontend."""
+import http.client
+import json
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from cosyvoice_tpu.bin.serve import serve, wav_header
+from cosyvoice_tpu.runtime.api import CosyVoice2
+from cosyvoice_tpu.runtime.frontend import CosyVoiceFrontEnd
+from cosyvoice_tpu.tokenizer.text import ByteTokenizer
+from tests.test_runtime import N_MEL, SPEECH_VOCAB, build_tiny_stack
+
+
+@pytest.fixture(scope="module")
+def server():
+    fe = CosyVoiceFrontEnd(
+        tokenizer=ByteTokenizer(),
+        speech_tokenizer=lambda wav: np.arange(10) % SPEECH_VOCAB,
+        spk_embedder=lambda wav: np.ones(24, np.float32),
+        sample_rate=2304, n_mels=N_MEL, mel_n_fft=96, mel_hop=48)
+    cv = CosyVoice2(frontend=fe, model=build_tiny_stack(), sample_rate=2304)
+    httpd = serve(cv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port
+    httpd.shutdown()
+
+
+def _parse_wav(data: bytes):
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert data[36:40] == b"data"
+    sr = struct.unpack("<I", data[24:28])[0]
+    pcm = np.frombuffer(data[44:], dtype="<i2")
+    return sr, pcm
+
+
+def test_health(server):
+    c = http.client.HTTPConnection("127.0.0.1", server)
+    c.request("GET", "/health")
+    r = c.getresponse()
+    assert r.status == 200 and json.loads(r.read())["status"] == "ok"
+
+
+def test_zero_shot_wav(server):
+    c = http.client.HTTPConnection("127.0.0.1", server)
+    body = json.dumps({"text": "Hello there, friend.", "prompt_text": "Hi.",
+                       "prompt_wav": np.sin(np.arange(8000) * 0.01).tolist()})
+    c.request("POST", "/tts/zero_shot", body,
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200 and r.getheader("Content-Type") == "audio/wav"
+    sr, pcm = _parse_wav(r.read())
+    assert sr == 2304 and pcm.size > 0
+    assert np.abs(pcm).max() <= 32767
+
+
+def test_zero_shot_streaming_chunked(server):
+    c = http.client.HTTPConnection("127.0.0.1", server)
+    body = json.dumps({"text": "Such a long sentence needs several chunks to stream properly.",
+                       "prompt_text": "Hi.", "stream": True,
+                       "prompt_wav": np.sin(np.arange(8000) * 0.01).tolist()})
+    c.request("POST", "/tts/zero_shot", body,
+              {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Transfer-Encoding") == "chunked"
+    data = r.read()  # http.client reassembles the chunked body
+    assert data[:44] == wav_header(2304)
+    pcm = np.frombuffer(data[44:], dtype="<i2")
+    assert pcm.size > 0
+
+
+def test_bad_requests(server):
+    def post(path, body):
+        c = http.client.HTTPConnection("127.0.0.1", server)
+        c.request("POST", path, body)
+        r = c.getresponse()
+        r.read()
+        return r.status
+
+    assert post("/tts/nope", "{}") == 404
+    assert post("/tts/zero_shot", "not json") == 400
+    # missing required field -> worker error -> 500
+    assert post("/tts/instruct2", json.dumps({"text": "x"})) == 500
