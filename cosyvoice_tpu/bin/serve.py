@@ -105,7 +105,78 @@ class SynthesisWorker:
         return out
 
 
-def make_handler(worker: SynthesisWorker, sample_rate: int):
+class ContinuousWorker:
+    """Continuous-batching backend: requests share the slot engine, so many
+    HTTP streams synthesize concurrently (runtime/serving.ContinuousSynthesizer
+    online mode) instead of queueing one-by-one.  Same submit() contract as
+    SynthesisWorker.  Text segments from normalization are chained in order
+    per request (segment k+1 submits after k's final chunk)."""
+
+    def __init__(self, cosyvoice, num_slots: int = 8):
+        from cosyvoice_tpu.runtime.serving import ContinuousSynthesizer
+
+        self.cv = cosyvoice
+        self.synth = ContinuousSynthesizer(cosyvoice.model,
+                                           num_slots=num_slots)
+        self.subs: queue.Queue = queue.Queue()
+        threading.Thread(target=lambda: self.synth.serve(self.subs),
+                         daemon=True).start()
+
+    def _segments(self, mode: str, body: dict):
+        fe = self.cv.frontend
+        segs = fe.text_normalize(body["text"])
+        prompt = decode_prompt_wav(body)
+        for seg in segs:
+            if mode == "sft":
+                yield fe.frontend_sft(seg, body["spk_id"])
+            elif mode == "zero_shot":
+                ptext = fe.text_normalize(body.get("prompt_text", ""),
+                                          split=False)
+                yield fe.frontend_zero_shot(seg, ptext, prompt)
+            elif mode == "cross_lingual":
+                yield fe.frontend_cross_lingual(seg, prompt)
+            elif mode == "instruct2":
+                yield fe.frontend_instruct2(seg, body["instruct_text"], prompt)
+            else:
+                raise ValueError(f"unknown mode {mode}")
+
+    def submit(self, mode: str, body: dict) -> queue.Queue:
+        from cosyvoice_tpu.runtime.serving import TTSRequest
+
+        out: queue.Queue = queue.Queue()
+
+        def drive():
+            try:
+                for mi in self._segments(mode, body):
+                    ptext = mi.get("prompt_text", np.zeros(0, np.int32))
+                    full = np.concatenate(
+                        [ptext, mi["text"]]).astype(np.int32)
+                    req = TTSRequest(
+                        text_tokens=full, prompt_text_len=len(ptext),
+                        prompt_speech_tokens=np.asarray(
+                            mi.get("flow_prompt_speech_token",
+                                   np.zeros(0, np.int32)), np.int32),
+                        prompt_feat=np.asarray(
+                            mi.get("prompt_speech_feat", np.zeros(
+                                (0, self.cv.model.flow.cfg.output_size),
+                                np.float32)), np.float32),
+                        embedding=np.asarray(mi["flow_embedding"], np.float32))
+                    seg_q: queue.Queue = queue.Queue()
+                    self.subs.put((req, lambda wav, fin, q=seg_q: q.put((wav, fin))))
+                    while True:
+                        wav, fin = seg_q.get()
+                        out.put(wav)
+                        if fin:
+                            break
+                out.put(None)
+            except Exception as e:
+                out.put(e)
+
+        threading.Thread(target=drive, daemon=True).start()
+        return out
+
+
+def make_handler(worker, sample_rate: int):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -180,8 +251,10 @@ def make_handler(worker: SynthesisWorker, sample_rate: int):
     return Handler
 
 
-def serve(cosyvoice, host: str = "0.0.0.0", port: int = 8080):
-    worker = SynthesisWorker(cosyvoice)
+def serve(cosyvoice, host: str = "0.0.0.0", port: int = 8080,
+          continuous: bool = False, num_slots: int = 8):
+    worker = ContinuousWorker(cosyvoice, num_slots=num_slots) if continuous \
+        else SynthesisWorker(cosyvoice)
     httpd = ThreadingHTTPServer((host, port),
                                 make_handler(worker, cosyvoice.sample_rate))
     return httpd  # caller runs httpd.serve_forever()
@@ -194,11 +267,16 @@ def main():
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--fp16", action="store_true")
     ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--continuous", action="store_true",
+                    help="continuous-batching backend (requests share the "
+                         "slot engine instead of queueing one-by-one)")
+    ap.add_argument("--num_slots", type=int, default=8)
     args = ap.parse_args()
     from cosyvoice_tpu.runtime.api import from_pretrained
 
     cv = from_pretrained(args.model_dir, fp16=args.fp16, quant=args.quant)
-    httpd = serve(cv, args.host, args.port)
+    httpd = serve(cv, args.host, args.port, continuous=args.continuous,
+                  num_slots=args.num_slots)
     print(f"serving on {args.host}:{args.port}", flush=True)
     httpd.serve_forever()
 

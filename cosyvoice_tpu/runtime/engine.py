@@ -33,7 +33,7 @@ is one bucketed B=1 prefill instead of chunked prefill.
 """
 from __future__ import annotations
 
-import collections
+import queue
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Sequence
@@ -232,25 +232,27 @@ class ServingEngine:
     text_bucket: int = 32
     speech_bucket: int = 64
 
-    def generate(self, requests: Sequence[GenRequest], rng=None,
-                 on_tokens: Optional[Callable] = None,
-                 on_segment: Optional[Callable] = None) -> list[np.ndarray]:
-        """on_tokens(request_index, new_tokens, done) fires per slot after
-        each segment; on_segment() fires once per segment AFTER all of the
-        segment's on_tokens — the flush point for consumers that batch work
-        across requests (e.g. batched flow chunks)."""
+    def serve(self, submissions, rng=None,
+              on_segment: Optional[Callable] = None) -> None:
+        """Online scheduler: pull (GenRequest, on_tokens) pairs from the
+        thread-safe `submissions` queue.Queue while decoding.  Blocks on the
+        queue only when no slot is live; a None item drains live work and
+        returns.  on_tokens(new_tokens, done) is per-request here (bind the
+        request identity into the callback).  on_segment() fires once per
+        segment after its on_tokens, AFTER the next segment has been
+        dispatched — consumer work overlaps decode (dispatch-ahead; true
+        two-chip overlap when the consumer computes on another device)."""
         cfg = self.model.cfg
         dtype = jax.tree.leaves(self.params)[0].dtype
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         state = engine_init(self.model, self.num_slots, self.cache_len,
                             self.max_out, rng, dtype)
-        pending = collections.deque(enumerate(requests))
-        slot_req: dict[int, int] = {}       # slot -> request index
+        slot_cb: dict[int, Callable] = {}   # slot -> per-request on_tokens
         seen: dict[int, int] = {}           # slot -> tokens already streamed
         free = list(range(self.num_slots))[::-1]
-        results: list[Optional[np.ndarray]] = [None] * len(requests)
+        stopping = False
 
-        def admit(slot: int, idx: int, r: GenRequest):
+        def admit(slot: int, r: GenRequest, cb: Callable):
             tt = np.asarray(r.text, np.int32)
             ps = np.asarray(r.prompt_speech, np.int32)
             ntl = r.new_text_len if r.new_text_len is not None else len(tt)
@@ -267,7 +269,7 @@ class ServingEngine:
             text[:len(tt)] = tt
             psp = np.zeros(Ts, np.int32)
             psp[:len(ps)] = ps
-            slot_req[slot] = idx
+            slot_cb[slot] = cb
             seen[slot] = 0
             return engine_admit(self.model, self.params, state,
                                 jnp.asarray(slot, jnp.int32), jnp.asarray(text),
@@ -275,46 +277,82 @@ class ServingEngine:
                                 jnp.asarray(len(ps), jnp.int32),
                                 jnp.asarray(mn, jnp.int32), jnp.asarray(mx, jnp.int32))
 
+        def pull(block_idle: bool):
+            """Admit into free slots.  block_idle=True may block waiting for
+            work when nothing is live; inside the decode loop it must be
+            False — consumer flushes (on_segment) are still pending there and
+            blocking before them would stall the last chunks of a request
+            until unrelated new work arrived."""
+            nonlocal state, stopping
+            while free and not stopping:
+                try:
+                    item = submissions.get(block=block_idle and not slot_cb)
+                except queue.Empty:
+                    return
+                if item is None:
+                    stopping = True
+                    return
+                state = admit(free.pop(), *item)
+
         def harvest():
             """Blocks on the in-flight segment; streams new tokens, frees
             finished slots."""
             count = np.asarray(state.count)
             done = np.asarray(state.done)
             out = np.asarray(state.out)
-            for slot in list(slot_req):
-                idx = slot_req[slot]
+            for slot in list(slot_cb):
+                cb = slot_cb[slot]
                 c = int(count[slot])
                 new = out[slot, seen[slot]:c]
                 fin = bool(done[slot])
                 if len(new) or fin:
-                    if on_tokens is not None:
-                        on_tokens(idx, new.copy(), fin)
+                    cb(new.copy(), fin)
                 seen[slot] = c
                 if fin:
-                    results[idx] = out[slot, :c].copy()
-                    del slot_req[slot], seen[slot]
+                    del slot_cb[slot], seen[slot]
                     free.append(slot)
 
-        # dispatch-ahead pipeline: exactly one segment is in flight; after
-        # harvesting it, the next segment (plus any admissions) is dispatched
-        # BEFORE on_segment fires, so the decode device is already working
-        # while the consumer's flow/vocoder jobs run — true stage overlap
-        # when the consumer computes on a different chip, free host/device
-        # overlap on one chip.
-        while free and pending:
-            idx, r = pending.popleft()
-            state = admit(free.pop(), idx, r)
-        if slot_req:
+        while True:
+            pull(block_idle=True)
+            if not slot_cb:
+                if stopping:
+                    return
+                continue
             state = engine_decode_segment(self.model, self.params, state,
                                           self.segment_steps)
-        while slot_req:
-            harvest()
-            while free and pending:
-                idx, r = pending.popleft()
-                state = admit(free.pop(), idx, r)
-            if slot_req:
-                state = engine_decode_segment(self.model, self.params, state,
-                                              self.segment_steps)
-            if on_segment is not None:
-                on_segment()
+            while slot_cb:
+                harvest()
+                pull(block_idle=False)
+                if slot_cb:
+                    state = engine_decode_segment(self.model, self.params,
+                                                  state, self.segment_steps)
+                if on_segment is not None:
+                    on_segment()
+            if stopping:
+                return
+
+    def generate(self, requests: Sequence[GenRequest], rng=None,
+                 on_tokens: Optional[Callable] = None,
+                 on_segment: Optional[Callable] = None) -> list[np.ndarray]:
+        """Batch driver over serve(): on_tokens(request_index, new_tokens,
+        done) fires per slot after each segment; on_segment() once per
+        segment after them (the flush point for consumers that batch work
+        across requests, e.g. batched flow chunks)."""
+        subs: queue.Queue = queue.Queue()
+        acc: list[list[int]] = [[] for _ in requests]
+        results: list[Optional[np.ndarray]] = [None] * len(requests)
+
+        def cb_for(i):
+            def cb(new, fin):
+                acc[i].extend(new.tolist())
+                if on_tokens is not None:
+                    on_tokens(i, new, fin)
+                if fin:
+                    results[i] = np.asarray(acc[i], np.int32)
+            return cb
+
+        for i, r in enumerate(requests):
+            subs.put((r, cb_for(i)))
+        subs.put(None)
+        self.serve(subs, rng=rng, on_segment=on_segment)
         return results  # type: ignore[return-value]

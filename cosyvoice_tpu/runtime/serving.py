@@ -217,8 +217,9 @@ class ContinuousSynthesizer:
             m.flow_params = jax.device_put(m.flow_params, self.flow_device)
             m.hift_params = jax.device_put(m.hift_params, self.flow_device)
 
-    def _flush_group(self, jobs, requests, sessions, emit, streaming: bool):
-        """One ragged-batched flow call over `jobs`, then per-session vocode.
+    def _flush_group(self, jobs, emit, streaming: bool):
+        """One ragged-batched flow call over `jobs` (each (stream, tokens,
+        offset, final)), then per-session vocode.
 
         Every job's mel is sliced exactly as the sequential token2wav does:
         generated region starts at the prompt-feat rows, valid length is
@@ -229,35 +230,37 @@ class ContinuousSynthesizer:
         n_mel = m.flow.cfg.output_size
         B = len(jobs)
         tls, toks = [], []
-        for idx, tok, off, fin in jobs:
-            ps = requests[idx].prompt_speech_tokens
+        for st, tok, off, fin in jobs:
+            ps = st.req.prompt_speech_tokens
             toks.append(np.concatenate([ps, tok]).astype(np.int32))
             tls.append(len(toks[-1]))
         bucket = max(round_up(max(tls), m.token_hop_len), m.token_hop_len)
         tokm = np.zeros((B, bucket), np.int32)
         pfl = np.zeros(B, np.int32)
-        Pmax = max(requests[j[0]].prompt_feat.shape[0] for j in jobs)
+        Pmax = max(j[0].req.prompt_feat.shape[0] for j in jobs)
         pf = np.zeros((B, Pmax, n_mel), np.float32)
-        emb = np.stack([np.asarray(requests[j[0]].embedding, np.float32)
+        emb = np.stack([np.asarray(j[0].req.embedding, np.float32)
                         for j in jobs])
-        for i, (idx, tok, off, fin) in enumerate(jobs):
+        for i, (st, tok, off, fin) in enumerate(jobs):
             tokm[i, :tls[i]] = toks[i]
-            r = requests[idx]
-            pfl[i] = r.prompt_feat.shape[0]
-            pf[i, :pfl[i]] = r.prompt_feat
+            pfl[i] = st.req.prompt_feat.shape[0]
+            pf[i, :pfl[i]] = st.req.prompt_feat
         mel = np.asarray(self._flow_ragged(
             m.flow_params, jnp.asarray(tokm), jnp.asarray(tls, dtype=jnp.int32),
             jnp.asarray(pf), jnp.asarray(emb), jnp.asarray(pfl),
             streaming=streaming))
-        for i, (idx, tok, off, fin) in enumerate(jobs):
-            plen = len(requests[idx].prompt_speech_tokens)
+        for i, (st, tok, off, fin) in enumerate(jobs):
+            plen = len(st.req.prompt_speech_tokens)
             start = int(pfl[i])
             valid = ratio * (tls[i] - plen)
             gen = mel[i, start + off * ratio: start + valid]
-            emit(idx, m.mel2wav(gen, sessions[idx], finalize=fin), fin)
+            emit(st, m.mel2wav(gen, st.session, finalize=fin), fin)
 
-    def synthesize_batch(self, requests: Sequence[TTSRequest], rng=None,
-                         on_chunk=None) -> list[np.ndarray]:
+    def serve(self, submissions, rng=None) -> None:
+        """Online streaming TTS: pull (TTSRequest, on_chunk(wav, final))
+        pairs from a thread-safe queue.Queue while synthesis runs; a None
+        item drains live work and returns.  Wav chunks stream through each
+        request's own on_chunk as they materialize."""
         from cosyvoice_tpu.runtime.engine import GenRequest, ServingEngine
 
         m = self.model
@@ -267,46 +270,47 @@ class ContinuousSynthesizer:
                                max_out=self.max_out or m.max_decode_tokens,
                                segment_steps=hop, text_bucket=self.text_bucket,
                                speech_bucket=self.speech_bucket)
-        genreqs = [GenRequest(text=np.asarray(r.text_tokens, np.int32),
-                              prompt_speech=np.asarray(r.prompt_speech_tokens, np.int32),
-                              new_text_len=len(r.text_tokens) - r.prompt_text_len)
-                   for r in requests]
-        tokens: list[list[int]] = [[] for _ in requests]
-        offset = [0] * len(requests)
-        sessions: list[dict] = [{"hift": None} for _ in requests]
-        chunks: list[list[np.ndarray]] = [[] for _ in requests]
-        jobs: list[tuple] = []  # (idx, tokens_so_far, offset, finalize)
+        jobs: list[tuple] = []
 
-        def emit(idx: int, wav: np.ndarray, final: bool):
-            chunks[idx].append(wav)
-            if on_chunk is not None:
-                on_chunk(idx, wav, final)
+        class _Stream:
+            __slots__ = ("req", "on_chunk", "tokens", "offset", "session")
 
-        def on_tokens(idx: int, new: np.ndarray, fin: bool):
-            tokens[idx].extend(new.tolist())
-            tok = np.asarray(tokens[idx], np.int32)
-            while len(tok) - offset[idx] >= hop + la:
-                jobs.append((idx, tok[: offset[idx] + hop + la], offset[idx],
-                             False))
-                offset[idx] += hop
-            if fin:
-                jobs.append((idx, tok, offset[idx], True))
+            def __init__(self, req, on_chunk):
+                self.req, self.on_chunk = req, on_chunk
+                self.tokens: list[int] = []
+                self.offset = 0
+                self.session: dict = {"hift": None}
+
+        def make_on_tokens(st: "_Stream"):
+            def on_tokens(new, fin):
+                st.tokens.extend(new.tolist())
+                tok = np.asarray(st.tokens, np.int32)
+                while len(tok) - st.offset >= hop + la:
+                    jobs.append((st, tok[: st.offset + hop + la], st.offset,
+                                 False))
+                    st.offset += hop
+                if fin:
+                    jobs.append((st, tok, st.offset, True))
+            return on_tokens
+
+        def emit(st: "_Stream", wav, fin):
+            if st.on_chunk is not None:
+                st.on_chunk(wav, fin)
 
         def flush():
             if not self.batch_chunks:
-                for idx, tok, off, fin in jobs:
-                    r = requests[idx]
-                    emit(idx, m.token2wav(tok, r.prompt_speech_tokens,
-                                          r.prompt_feat, r.embedding, off,
-                                          sessions[idx], finalize=fin), fin)
+                for st, tok, off, fin in jobs:
+                    r = st.req
+                    emit(st, m.token2wav(tok, r.prompt_speech_tokens,
+                                         r.prompt_feat, r.embedding, off,
+                                         st.session, finalize=fin), fin)
             else:
                 # non-final first: a request can have both in one segment,
                 # and its stream chunks precede its final chunk
                 for streaming in (True, False):
                     grp = [j for j in jobs if j[3] != streaming]
                     if grp:
-                        self._flush_group(grp, requests, sessions, emit,
-                                          streaming=streaming)
+                        self._flush_group(grp, emit, streaming=streaming)
             jobs.clear()
 
         def on_segment():
@@ -321,6 +325,42 @@ class ContinuousSynthesizer:
             else:
                 flush()
 
-        engine.generate(genreqs, rng=rng, on_tokens=on_tokens,
-                        on_segment=on_segment)
+        class _Adapter:
+            """Translate TTS submissions into engine (GenRequest, on_tokens)
+            pairs, preserving queue.Queue get(block) semantics."""
+
+            @staticmethod
+            def get(block=True):
+                item = submissions.get(block=block)
+                if item is None:
+                    return None
+                req, on_chunk = item
+                st = _Stream(req, on_chunk)
+                gr = GenRequest(
+                    text=np.asarray(req.text_tokens, np.int32),
+                    prompt_speech=np.asarray(req.prompt_speech_tokens, np.int32),
+                    new_text_len=len(req.text_tokens) - req.prompt_text_len)
+                return (gr, make_on_tokens(st))
+
+        engine.serve(_Adapter(), rng=rng, on_segment=on_segment)
+
+    def synthesize_batch(self, requests: Sequence[TTSRequest], rng=None,
+                         on_chunk=None) -> list[np.ndarray]:
+        """Batch driver over serve(); on_chunk(request_index, wav, final)."""
+        import queue as _q
+
+        subs: _q.Queue = _q.Queue()
+        chunks: list[list[np.ndarray]] = [[] for _ in requests]
+
+        def cb_for(i):
+            def cb(wav, fin):
+                chunks[i].append(wav)
+                if on_chunk is not None:
+                    on_chunk(i, wav, fin)
+            return cb
+
+        for i, r in enumerate(requests):
+            subs.put((r, cb_for(i)))
+        subs.put(None)
+        self.serve(subs, rng=rng)
         return [np.concatenate(c) for c in chunks]

@@ -163,3 +163,49 @@ def test_continuous_synthesizer_flow_on_second_device():
                                   flow_device=jax.devices()[1])
     got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(3))
     np.testing.assert_allclose(got[0], want[0], atol=1e-5, rtol=1e-5)
+
+
+def test_engine_online_serve_staggered_threads():
+    """Online mode: submissions arrive from another thread WHILE the engine
+    decodes; tokens still match isolated lm_generate, and the None sentinel
+    drains and returns."""
+    import queue
+    import threading
+    import time
+
+    model, params = make_model(False)
+    rng = np.random.default_rng(13)
+    reqs = [GenRequest(text=rng.integers(0, TINY.vocab_size, 3 + i).astype(np.int32),
+                       prompt_speech=rng.integers(0, S, i % 3).astype(np.int32))
+            for i in range(4)]
+    eng = ServingEngine(model, params, num_slots=2, cache_len=256, max_out=128,
+                        segment_steps=5, text_bucket=4, speech_bucket=4)
+    subs: queue.Queue = queue.Queue()
+    got: dict[int, list] = {i: [] for i in range(len(reqs))}
+    fins: set = set()
+
+    def cb_for(i):
+        def cb(new, fin):
+            got[i].extend(new.tolist())
+            if fin:
+                fins.add(i)
+        return cb
+
+    def feeder():
+        subs.put((reqs[0], cb_for(0)))
+        time.sleep(0.5)  # engine should be mid-decode / blocked on work
+        subs.put((reqs[1], cb_for(1)))
+        subs.put((reqs[2], cb_for(2)))
+        time.sleep(0.5)
+        subs.put((reqs[3], cb_for(3)))
+        subs.put(None)
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    eng.serve(subs, rng=jax.random.PRNGKey(0))
+    t.join()
+    assert fins == {0, 1, 2, 3}
+    for i, r in enumerate(reqs):
+        want = reference_tokens(model, params, r, max_steps=128, cache_len=256)
+        np.testing.assert_array_equal(np.asarray(got[i], np.int32), want,
+                                      err_msg=f"request {i}")

@@ -89,3 +89,47 @@ def test_bad_requests(server):
     assert post("/tts/zero_shot", "not json") == 400
     # missing required field -> worker error -> 500
     assert post("/tts/instruct2", json.dumps({"text": "x"})) == 500
+
+
+@pytest.fixture(scope="module")
+def continuous_server():
+    fe = CosyVoiceFrontEnd(
+        tokenizer=ByteTokenizer(),
+        speech_tokenizer=lambda wav: np.arange(10) % SPEECH_VOCAB,
+        spk_embedder=lambda wav: np.ones(24, np.float32),
+        sample_rate=2304, n_mels=N_MEL, mel_n_fft=96, mel_hop=48)
+    cv = CosyVoice2(frontend=fe, model=build_tiny_stack(), sample_rate=2304)
+    httpd = serve(cv, host="127.0.0.1", port=0, continuous=True, num_slots=2)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port
+    httpd.shutdown()
+
+
+def test_continuous_server_concurrent_requests(continuous_server):
+    """Two HTTP requests in flight at once both come back as valid WAVs —
+    they share the slot engine instead of queueing one-by-one."""
+    results = {}
+
+    def call(i, text):
+        c = http.client.HTTPConnection("127.0.0.1", continuous_server,
+                                       timeout=600)
+        body = json.dumps({"text": text, "prompt_text": "Hi.",
+                           "prompt_wav": np.sin(np.arange(8000) * 0.01).tolist()})
+        c.request("POST", "/tts/zero_shot", body,
+                  {"Content-Type": "application/json"})
+        r = c.getresponse()
+        results[i] = (r.status, r.read())
+
+    ts = [threading.Thread(target=call, args=(i, t)) for i, t in
+          enumerate(["Hello there, my friend.", "A second, longer request arrives concurrently."])]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for i in (0, 1):
+        status, data = results[i]
+        assert status == 200, f"request {i}"
+        sr, pcm = _parse_wav(data)
+        assert sr == 2304 and pcm.size > 0
