@@ -36,6 +36,23 @@ def arrays_only(batch: dict) -> dict:
             and not (isinstance(v, list) and v and isinstance(v[0], str))}
 
 
+def all_hosts_have_data(has_batch: bool) -> bool:
+    """Multi-host uneven-data-exhaustion guard.
+
+    Reference equivalent: `cosyvoice_join`'s gloo monitored_barrier
+    (utils/train_utils.py:234-252) — when one rank's shard runs out first,
+    every rank must stop together or the next collective hangs.  Under SPMD
+    the same applies to XLA collectives, so every host votes before each
+    step; the epoch ends for all hosts the moment any host is exhausted."""
+    if jax.process_count() == 1:
+        return has_batch
+    from jax.experimental import multihost_utils
+
+    votes = multihost_utils.process_allgather(
+        np.asarray([has_batch], dtype=np.bool_))
+    return bool(np.all(votes))
+
+
 @dataclass
 class Executor:
     train_step: Callable            # (state, batch, rng) -> (state, metrics)
@@ -80,7 +97,14 @@ class Executor:
                         to_device: Callable = lambda b: b) -> TrainState:
         logger.info("Epoch %d begin", self.epoch)
         t0, n_since = time.time(), 0
-        for batch in train_data:
+        it = iter(train_data)
+        while True:
+            batch = next(it, None)
+            if not all_hosts_have_data(batch is not None):
+                if batch is not None:
+                    logger.info("another host exhausted its shard; "
+                                "ending epoch early together (join guard)")
+                break
             rng = jax.random.fold_in(jax.random.PRNGKey(self.rng_seed), self.step)
             state, metrics = self.train_step(state, to_device(arrays_only(batch)), rng)
             self.step += 1
@@ -126,7 +150,11 @@ class GanExecutor(Executor):
 
     def train_one_epoch_gan(self, g_state, d_state, train_data,
                             cv_data=None, to_device=lambda b: b):
-        for batch in train_data:
+        it = iter(train_data)
+        while True:
+            batch = next(it, None)
+            if not all_hosts_have_data(batch is not None):
+                break
             rng = jax.random.fold_in(jax.random.PRNGKey(self.rng_seed), self.step)
             b = to_device(arrays_only(batch))
             d_state, d_metrics = self.disc_step(d_state, g_state.params, b, rng)
