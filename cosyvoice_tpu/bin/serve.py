@@ -38,7 +38,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-MODES = {"sft", "zero_shot", "cross_lingual", "instruct2"}
+MODES = {"sft", "zero_shot", "cross_lingual", "instruct2", "vc"}
 
 
 def wav_header(sample_rate: int, num_samples: int = -1) -> bytes:
@@ -61,6 +61,31 @@ def decode_prompt_wav(body: dict) -> np.ndarray:
     return np.asarray(body.get("prompt_wav", []), np.float32)
 
 
+def run_inference(cv, mode: str, body: dict):
+    """Dispatch one request body to the matching CosyVoice2 inference_*
+    generator (yields {'tts_speech'} chunks)."""
+    stream = bool(body.get("stream", False))
+    if mode == "vc":
+        source = np.frombuffer(
+            base64.b64decode(body["source_wav_b64"]), dtype="<f4"
+        ).astype(np.float32) if "source_wav_b64" in body else \
+            np.asarray(body["source_wav"], np.float32)
+        return cv.inference_vc(source, decode_prompt_wav(body), stream=stream)
+    text = body["text"]
+    if mode == "sft":
+        return cv.inference_sft(text, body["spk_id"], stream=stream)
+    prompt = decode_prompt_wav(body)
+    if mode == "zero_shot":
+        return cv.inference_zero_shot(text, body.get("prompt_text", ""),
+                                      prompt, stream=stream)
+    if mode == "cross_lingual":
+        return cv.inference_cross_lingual(text, prompt, stream=stream)
+    if mode == "instruct2":
+        return cv.inference_instruct2(text, body["instruct_text"],
+                                      prompt, stream=stream)
+    raise ValueError(f"unknown mode {mode}")
+
+
 class SynthesisWorker:
     """Single thread owning the model: requests run strictly in order.
 
@@ -73,27 +98,11 @@ class SynthesisWorker:
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def _synthesize(self, mode: str, body: dict):
-        text = body["text"]
-        stream = bool(body.get("stream", False))
-        if mode == "sft":
-            return self.cv.inference_sft(text, body["spk_id"], stream=stream)
-        prompt = decode_prompt_wav(body)
-        if mode == "zero_shot":
-            return self.cv.inference_zero_shot(text, body.get("prompt_text", ""),
-                                               prompt, stream=stream)
-        if mode == "cross_lingual":
-            return self.cv.inference_cross_lingual(text, prompt, stream=stream)
-        if mode == "instruct2":
-            return self.cv.inference_instruct2(text, body["instruct_text"],
-                                               prompt, stream=stream)
-        raise ValueError(f"unknown mode {mode}")
-
     def _run(self):
         while True:
             mode, body, out = self.jobs.get()
             try:
-                for piece in self._synthesize(mode, body):
+                for piece in run_inference(self.cv, mode, body):
                     out.put(piece["tts_speech"])
                 out.put(None)
             except Exception as e:  # surfaced as HTTP 500 by the handler
@@ -147,6 +156,13 @@ class ContinuousWorker:
 
         def drive():
             try:
+                if mode == "vc":
+                    # voice conversion has no LM stage — nothing to batch in
+                    # the slot engine; run the token2wav path directly
+                    for piece in run_inference(self.cv, mode, body):
+                        out.put(piece["tts_speech"])
+                    out.put(None)
+                    return
                 for mi in self._segments(mode, body):
                     ptext = mi.get("prompt_text", np.zeros(0, np.int32))
                     full = np.concatenate(

@@ -133,3 +133,14 @@ def test_continuous_server_concurrent_requests(continuous_server):
         assert status == 200, f"request {i}"
         sr, pcm = _parse_wav(data)
         assert sr == 2304 and pcm.size > 0
+
+
+def test_vc_endpoint(server):
+    c = http.client.HTTPConnection("127.0.0.1", server, timeout=600)
+    body = json.dumps({"source_wav": np.sin(np.arange(8000) * 0.02).tolist(),
+                       "prompt_wav": np.sin(np.arange(8000) * 0.01).tolist()})
+    c.request("POST", "/tts/vc", body, {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.status == 200
+    sr, pcm = _parse_wav(r.read())
+    assert sr == 2304 and pcm.size > 0
