@@ -178,6 +178,89 @@ class PositionwiseFeedForward(nn.Module):
         return nn.Dense(self.dim, name="w_2")(x)
 
 
+def sinusoidal_pos_emb(T: int, d: int, offset: int = 0,
+                       dtype=jnp.float32) -> jax.Array:
+    """Absolute sinusoidal table [1, T, d] (reference PositionalEncoding,
+    transformer/embedding.py:26-117: interleaved sin/cos; caller adds it to
+    x * sqrt(d)).  `offset` gives the streaming slice (position_encoding)."""
+    pos = np.arange(offset, offset + T, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float32) * -(np.log(10000.0) / d))
+    pe = np.zeros((T, d), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return jnp.asarray(pe[None], dtype)
+
+
+def whisper_pos_emb(T: int, d: int, dtype=jnp.float32) -> jax.Array:
+    """openai-whisper encoder sinusoids [1, T, d] (embedding.py:150-165:
+    concatenated sin|cos, log-timescales over d//2; xscale 1)."""
+    inc = np.log(10000.0) / (d // 2 - 1)
+    inv = np.exp(-inc * np.arange(d // 2, dtype=np.float32))
+    t = np.arange(T, dtype=np.float32)[:, None] * inv[None, :]
+    return jnp.asarray(np.concatenate([np.sin(t), np.cos(t)], axis=1)[None],
+                       dtype)
+
+
+class LearnablePositionalEncoding(nn.Module):
+    """whisper-decoder style learned positions (embedding.py:167-175);
+    xscale 1, table is a parameter."""
+
+    max_len: int = 448
+
+    @nn.compact
+    def __call__(self, x: jax.Array, offset: int = 0) -> tuple[jax.Array, jax.Array]:
+        d = x.shape[-1]
+        pe = self.param("pe", nn.initializers.normal(0.02),
+                        (1, self.max_len, d))
+        emb = jax.lax.dynamic_slice(pe, (0, offset, 0), (1, x.shape[1], d))
+        return x + emb.astype(x.dtype), emb.astype(x.dtype)
+
+
+def no_pos_emb(T: int, d: int, dtype=jnp.float32) -> jax.Array:
+    """NoPositionalEncoding (embedding.py:178-198): zero vector for
+    interface compatibility."""
+    return jnp.zeros((1, T, d), dtype)
+
+
+class MoEFFNLayer(nn.Module):
+    """Mixture-of-experts positionwise FFN (reference
+    transformer/positionwise_feed_forward.py:58-115: linear router, top-k
+    experts per token, softmax over the selected logits).
+
+    TPU-native form: every expert runs on every token (dense einsum over a
+    stacked expert dim — static shapes, MXU-friendly) and the top-k mask
+    weights the sum; identical math to the reference's gather/scatter loop.
+    At scale the expert dim shards on the mesh "model" axis like any other
+    ffn kernel.  Unused by the shipped configs, as in the reference.
+    """
+
+    n_expert: int
+    n_expert_per_token: int
+    hidden: int
+    dim: int
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        E, H, D = self.n_expert, self.hidden, self.dim
+        router = nn.Dense(E, use_bias=False, name="gate")(x)  # [B, T, E]
+        logits, idx = jax.lax.top_k(router, self.n_expert_per_token)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
+                                 ).astype(x.dtype)            # [B, T, k]
+        # scatter selected weights back to a dense [B, T, E] gate
+        dense_gate = jax.nn.one_hot(idx, E, dtype=x.dtype) * weights[..., None]
+        dense_gate = jnp.sum(dense_gate, axis=-2)              # [B, T, E]
+        act = {"swish": swish, "relu": jax.nn.relu,
+               "gelu": jax.nn.gelu}[self.activation]
+        w1 = self.param("w1", nn.initializers.lecun_normal(), (E, D, H))
+        b1 = self.param("b1", nn.initializers.zeros, (E, H))
+        w2 = self.param("w2", nn.initializers.lecun_normal(), (E, H, D))
+        b2 = self.param("b2", nn.initializers.zeros, (E, D))
+        h = act(jnp.einsum("btd,edh->bteh", x, w1) + b1[None, None])
+        y = jnp.einsum("bteh,ehd->bted", h, w2) + b2[None, None]
+        return jnp.einsum("bted,bte->btd", y, dense_gate)
+
+
 class ConvolutionModule(nn.Module):
     """Conformer conv module: GLU pointwise -> depthwise -> norm -> swish -> pointwise."""
 
@@ -233,6 +316,12 @@ class ConformerConfig:
     input_layer: str = "linear"  # linear | linear_legacy
     spk_adapt: bool = False      # per-layer speaker injection (encoder.py:478)
     spk_emb_size: int = 512
+    # positionwise layer: "ffn" | "moe" (reference MoEFFNLayer — present in
+    # the inventory but unused by shipped configs; class_utils has no map
+    # entry for it either)
+    ffn_type: str = "ffn"
+    n_expert: int = 8
+    n_expert_per_token: int = 2
 
 
 class ConformerEncoderLayer(nn.Module):
@@ -248,8 +337,12 @@ class ConformerEncoderLayer(nn.Module):
         self.norm_ff = nn.LayerNorm(epsilon=eps)
         self.self_attn = RelPositionAttention(cfg.heads, cfg.dim, cfg.key_bias,
                                               cfg.attention_dropout_rate)
-        self.ff = PositionwiseFeedForward(cfg.linear_units, cfg.dim,
-                                          cfg.dropout_rate, cfg.activation)
+        if cfg.ffn_type == "moe":
+            self.ff = MoEFFNLayer(cfg.n_expert, cfg.n_expert_per_token,
+                                  cfg.linear_units, cfg.dim, cfg.activation)
+        else:
+            self.ff = PositionwiseFeedForward(cfg.linear_units, cfg.dim,
+                                              cfg.dropout_rate, cfg.activation)
         if cfg.macaron_style:
             self.norm_ff_macaron = nn.LayerNorm(epsilon=1e-12)
             self.ff_macaron = PositionwiseFeedForward(
