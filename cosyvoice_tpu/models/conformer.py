@@ -261,6 +261,91 @@ class MoEFFNLayer(nn.Module):
         return jnp.einsum("bted,bte->btd", y, dense_gate)
 
 
+class EmbedNoSubsampling(nn.Module):
+    """EmbedinigNoSubsampling (subsampling.py:35-66): id embedding, no rate
+    change; positional encoding applied by the caller (wenet passes the
+    pos_enc class in; here encoders own their rel-pos tables)."""
+
+    vocab: int
+    odim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array):
+        return nn.Embed(self.vocab, self.odim, name="embed")(x), mask
+
+
+class Conv1dSubsampling2(nn.Module):
+    """Whisper-style 1/2-rate conv frontend (subsampling.py:116-170):
+    conv1d(k3,p1) -> GELU -> conv1d(k3,s2,p1) -> GELU; mask sliced
+    [(T+1)%2::2]."""
+
+    odim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array):
+        T = x.shape[1]
+        x = nn.Conv(self.odim, (3,), padding=((1, 1),), name="conv0")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(self.odim, (3,), strides=(2,), padding=((1, 1),),
+                    name="conv1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return x, mask[:, :, (T + 1) % 2::2]
+
+
+class _Conv2dSubsampling(nn.Module):
+    """Shared body for Conv2dSubsampling4/6/8 (subsampling.py:173-335):
+    stack of VALID 2D convs over (time, feat) + ReLU, then a Linear over the
+    flattened (channels x reduced-feat)."""
+
+    odim: int
+    convs: tuple          # ((kernel, stride), ...)
+    mask_slices: tuple    # per-conv python slice over the time mask
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array):
+        h = x[..., None]  # [B, T, F, 1] (NHWC; torch uses NCHW channel 1)
+        for i, (k, s) in enumerate(self.convs):
+            h = nn.Conv(self.odim, (k, k), strides=(s, s), padding="VALID",
+                        name=f"conv{i}")(h)
+            h = jax.nn.relu(h)
+        B, T2, F2, C = h.shape
+        # torch flattens channel-major: view(b, t, c * f)
+        h = h.transpose(0, 1, 3, 2).reshape(B, T2, C * F2)
+        h = nn.Dense(self.odim, name="out")(h)
+        for sl in self.mask_slices:
+            mask = mask[:, :, sl]
+        return h, mask
+
+
+def Conv2dSubsampling4(odim: int) -> _Conv2dSubsampling:
+    return _Conv2dSubsampling(odim, ((3, 2), (3, 2)),
+                              (slice(2, None, 2), slice(2, None, 2)))
+
+
+def Conv2dSubsampling6(odim: int) -> _Conv2dSubsampling:
+    return _Conv2dSubsampling(odim, ((3, 2), (5, 3)),
+                              (slice(2, None, 2), slice(4, None, 3)))
+
+
+def Conv2dSubsampling8(odim: int) -> _Conv2dSubsampling:
+    return _Conv2dSubsampling(odim, ((3, 2), (3, 2), (3, 2)),
+                              (slice(2, None, 2),) * 3)
+
+
+def import_conv2d_subsampling_torch(sd, n_convs: int) -> dict:
+    """torch Conv2dSubsampling* state_dict -> params (conv.{0,2,4} + out/linear)."""
+    params = {}
+    for i in range(n_convs):
+        w = np.asarray(sd[f"conv.{2 * i}.weight"])  # [O, 1|O, kh, kw]
+        params[f"conv{i}"] = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                              "bias": jnp.asarray(sd[f"conv.{2 * i}.bias"])}
+    lw = sd.get("out.0.weight", sd.get("linear.weight"))
+    lb = sd.get("out.0.bias", sd.get("linear.bias"))
+    params["out"] = {"kernel": jnp.asarray(np.asarray(lw).T),
+                     "bias": jnp.asarray(lb)}
+    return {"params": params}
+
+
 class ConvolutionModule(nn.Module):
     """Conformer conv module: GLU pointwise -> depthwise -> norm -> swish -> pointwise."""
 
