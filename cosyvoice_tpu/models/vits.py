@@ -487,3 +487,130 @@ def import_vits_torch(state_dict, cfg: VitsConfig) -> dict:
                    if k.startswith(f"enc_p.{enc_name}.")}
             P[enc_name] = import_upsample_encoder_torch(esd, enc_cfg)["params"]
     return {"params": P}
+
+
+# --------------------------------------------------------------------------
+# VITS stochastic-duration-predictor plumbing (speaker/modules.py flows).
+# Dead code in the shipped recipes (VitsDecoder drops the duration
+# predictor — tokens are already time-aligned), ported for surface parity.
+# --------------------------------------------------------------------------
+
+class DDSConv(nn.Module):
+    """Dilated depth-separable conv stack (speaker/modules.py:102-142)."""
+
+    channels: int
+    kernel_size: int
+    n_layers: int
+
+    @nn.compact
+    def __call__(self, x, mask, g=None):
+        if g is not None:
+            x = x + g
+        for i in range(self.n_layers):
+            d = self.kernel_size ** i
+            pad = (self.kernel_size * d - d) // 2
+            y = Conv1d(self.channels, self.kernel_size, groups=self.channels,
+                       dilation=d, padding=pad,
+                       name=f"convs_sep_{i}")(x * mask[..., None])
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norms_1_{i}")(y)
+            y = jax.nn.gelu(y, approximate=False)
+            y = Conv1d(self.channels, 1, name=f"convs_1x1_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norms_2_{i}")(y)
+            y = jax.nn.gelu(y, approximate=False)
+            x = x + y
+        return x * mask[..., None]
+
+
+class ConvFlow(nn.Module):
+    """Rational-quadratic spline coupling (speaker/modules.py:385-470)."""
+
+    in_channels: int
+    filter_channels: int
+    kernel_size: int
+    n_layers: int
+    num_bins: int = 10
+    tail_bound: float = 5.0
+
+    @nn.compact
+    def __call__(self, x, mask, g=None, reverse=False):
+        from cosyvoice_tpu.ops.splines import \
+            piecewise_rational_quadratic_transform
+
+        half = self.in_channels // 2
+        x0, x1 = x[..., :half], x[..., half:]
+        h = Conv1d(self.filter_channels, 1, name="pre")(x0)
+        h = DDSConv(self.filter_channels, self.kernel_size, self.n_layers,
+                    name="convs")(h, mask, g=g)
+        h = Conv1d(half * (self.num_bins * 3 - 1), 1,
+                   name="proj")(h) * mask[..., None]
+        # torch: [b, c*(3n-1), t] -> (b, c, 3n-1, t) -> (b, c, t, 3n-1);
+        # channels-last: [B, T, c*(3n-1)] -> [B, T, c, 3n-1] -> [B, c, T, ...]
+        B, T = h.shape[:2]
+        h = h.reshape(B, T, half, 3 * self.num_bins - 1).transpose(0, 2, 1, 3)
+        scale = float(np.sqrt(self.filter_channels))
+        uw = h[..., : self.num_bins] / scale
+        uh = h[..., self.num_bins: 2 * self.num_bins] / scale
+        ud = h[..., 2 * self.num_bins:]
+        x1c = x1.transpose(0, 2, 1)  # [B, half, T]
+        y1, logabsdet = piecewise_rational_quadratic_transform(
+            x1c, uw, uh, ud, inverse=reverse, tails="linear",
+            tail_bound=self.tail_bound)
+        x = jnp.concatenate([x0, y1.transpose(0, 2, 1)], axis=-1) * mask[..., None]
+        if reverse:
+            return x
+        logdet = jnp.sum(logabsdet * mask[:, None, :], axis=(1, 2))
+        return x, logdet
+
+
+class ElementwiseAffine(nn.Module):
+    """speaker/modules.py:355-370."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, mask, reverse=False):
+        m = self.param("m", nn.initializers.zeros, (self.channels,))
+        logs = self.param("logs", nn.initializers.zeros, (self.channels,))
+        if not reverse:
+            y = (m + jnp.exp(logs) * x) * mask[..., None]
+            logdet = jnp.sum(logs[None, None, :] * mask[..., None], axis=(1, 2))
+            return y, logdet
+        return (x - m) * jnp.exp(-logs) * mask[..., None]
+
+
+def flip_flow(x, reverse=False):
+    """speaker/modules.py:345-352 (channel flip; logdet 0)."""
+    y = x[..., ::-1]
+    if not reverse:
+        return y, jnp.zeros(x.shape[0], x.dtype)
+    return y
+
+
+def log_flow(x, mask, reverse=False):
+    """speaker/modules.py:332-342."""
+    if not reverse:
+        y = jnp.log(jnp.clip(x, 1e-5)) * mask[..., None]
+        logdet = jnp.sum(-y, axis=(1, 2))
+        return y, logdet
+    return jnp.exp(x) * mask[..., None]
+
+
+def import_conv_flow_torch(sd, n_layers: int) -> dict:
+    from cosyvoice_tpu.nn.conv import torch_conv_weight
+
+    def conv(prefix):
+        p = {"kernel": torch_conv_weight(sd[f"{prefix}.weight"])}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        return p
+
+    convs = {}
+    for i in range(n_layers):
+        convs[f"convs_sep_{i}"] = conv(f"convs.convs_sep.{i}")
+        convs[f"convs_1x1_{i}"] = conv(f"convs.convs_1x1.{i}")
+        convs[f"norms_1_{i}"] = {"scale": jnp.asarray(sd[f"convs.norms_1.{i}.gamma"]),
+                                 "bias": jnp.asarray(sd[f"convs.norms_1.{i}.beta"])}
+        convs[f"norms_2_{i}"] = {"scale": jnp.asarray(sd[f"convs.norms_2.{i}.gamma"]),
+                                 "bias": jnp.asarray(sd[f"convs.norms_2.{i}.beta"])}
+    return {"params": {"pre": conv("pre"), "proj": conv("proj"),
+                       "convs": convs}}

@@ -82,3 +82,74 @@ def test_linear_spectrogram_matches_torch(rng):
                             center=False).numpy()
     ours = np.asarray(linear_spectrogram(jnp.asarray(y), 256, 64, 256))
     np.testing.assert_allclose(ours.transpose(0, 2, 1), ref, atol=1e-4, rtol=1e-3)
+
+
+def test_spline_transform_matches_reference(rng):
+    """piecewise_rational_quadratic_transform (transforms_sdp.py:11-205):
+    forward + inverse + identity tails vs torch."""
+    import torch
+
+    from cosyvoice.speaker.transforms_sdp import \
+        piecewise_rational_quadratic_transform as ref_t
+
+    from cosyvoice_tpu.ops.splines import \
+        piecewise_rational_quadratic_transform as our_t
+
+    N, bins = 50, 10
+    x = (rng.standard_normal(N) * 3.0).astype(np.float32)  # some outside tails
+    uw = rng.standard_normal((N, bins)).astype(np.float32)
+    uh = rng.standard_normal((N, bins)).astype(np.float32)
+    ud = rng.standard_normal((N, bins - 1)).astype(np.float32)
+    for inverse in (False, True):
+        with torch.no_grad():
+            want, want_lad = ref_t(torch.from_numpy(x), torch.from_numpy(uw),
+                                   torch.from_numpy(uh), torch.from_numpy(ud),
+                                   inverse=inverse, tails="linear",
+                                   tail_bound=5.0)
+        got, got_lad = our_t(jnp.asarray(x), jnp.asarray(uw), jnp.asarray(uh),
+                             jnp.asarray(ud), inverse=inverse, tails="linear",
+                             tail_bound=5.0)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4,
+                                   rtol=1e-4, err_msg=f"inverse={inverse}")
+        np.testing.assert_allclose(np.asarray(got_lad), want_lad.numpy(),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_conv_flow_matches_reference(rng):
+    """ConvFlow spline coupling (speaker/modules.py:385-470) with imported
+    weights, forward logdet + reverse round-trip."""
+    import torch
+
+    from cosyvoice.speaker.modules import ConvFlow as RefFlow
+
+    from cosyvoice_tpu.models.vits import ConvFlow, import_conv_flow_torch
+    from tests.reference_util import ref_state_dict
+
+    C, F, K, L = 4, 12, 3, 2
+    torch.manual_seed(0)
+    ref = RefFlow(C, F, K, L).eval()
+    # proj is zero-init in reference; randomize so the spline actually bends
+    with torch.no_grad():
+        ref.proj.weight.normal_(0, 0.3)
+        ref.proj.bias.normal_(0, 0.1)
+    B, T = 2, 9
+    x = rng.standard_normal((B, C, T)).astype(np.float32)
+    mask = np.ones((B, 1, T), np.float32)
+    mask[1, :, 6:] = 0.0
+    with torch.no_grad():
+        want, want_logdet = ref(torch.from_numpy(x), torch.from_numpy(mask))
+        want_rev = ref(torch.from_numpy(want.numpy()),
+                       torch.from_numpy(mask), reverse=True)
+
+    model = ConvFlow(C, F, K, L)
+    params = import_conv_flow_torch(ref_state_dict(ref), L)
+    xl = jnp.asarray(x.transpose(0, 2, 1))
+    ml = jnp.asarray(mask[:, 0, :])
+    got, got_logdet = model.apply(params, xl, ml)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1),
+                               want.numpy(), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_logdet), want_logdet.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    got_rev = model.apply(params, got, ml, reverse=True)
+    np.testing.assert_allclose(np.asarray(got_rev).transpose(0, 2, 1),
+                               want_rev.numpy(), atol=3e-5, rtol=1e-4)
