@@ -102,7 +102,8 @@ def main():
         loss_fn = llm_loss_fn(model)
         rules = LM_RULES
     elif args.model == "flow":
-        params = model.init(rng, b0["speech_token"], b0["speech_token_len"],
+        params = model.init({"params": rng, "dropout": rng},
+                            b0["speech_token"], b0["speech_token_len"],
                             b0["speech_feat"], b0["speech_feat_len"],
                             b0["embedding"], rng)
         loss_fn = flow_loss_fn(model)

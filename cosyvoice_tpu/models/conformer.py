@@ -97,6 +97,9 @@ class RelPositionAttention(nn.Module):
         self.linear_pos = nn.Dense(self.dim, use_bias=False)
         self.pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, D))
         self.pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, D))
+        # declared here (not inline) — submodules in a setup-style module must
+        # be created in setup(); needs an apply-time "dropout" rng when active
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(self, q_in: jax.Array, kv_in: jax.Array, pos_emb: jax.Array,
                  mask: Optional[jax.Array] = None,
@@ -132,7 +135,7 @@ class RelPositionAttention(nn.Module):
         else:
             attn = jax.nn.softmax(scores, axis=-1)
         if self.dropout_rate > 0.0 and not deterministic:
-            attn = nn.Dropout(self.dropout_rate, deterministic=False)(attn)
+            attn = self.attn_dropout(attn, deterministic=False)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, Tq, self.dim)
         return self.linear_out(out)
 
@@ -420,6 +423,9 @@ class ConformerEncoderLayer(nn.Module):
             self.spk_linear = nn.Dense(cfg.dim)
         self.norm_mha = nn.LayerNorm(epsilon=eps)
         self.norm_ff = nn.LayerNorm(epsilon=eps)
+        # residual-path dropout (encoder_layer.py:160,186); created in setup
+        # because this is a setup-style module
+        self.res_dropout = nn.Dropout(cfg.dropout_rate)
         self.self_attn = RelPositionAttention(cfg.heads, cfg.dim, cfg.key_bias,
                                               cfg.attention_dropout_rate)
         if cfg.ffn_type == "moe":
@@ -444,7 +450,7 @@ class ConformerEncoderLayer(nn.Module):
                  deterministic: bool = True,
                  spk_emb: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.cfg
-        drop = lambda y: (nn.Dropout(cfg.dropout_rate, deterministic=False)(y)
+        drop = lambda y: (self.res_dropout(y, deterministic=False)
                           if cfg.dropout_rate > 0.0 and not deterministic else y)
         if cfg.spk_adapt and spk_emb is not None:
             # speaker adaptation at layer entry (encoder_layer.py:325-327)

@@ -78,9 +78,10 @@ def llm_loss_fn(model):
 
 def flow_loss_fn(model):
     def loss_fn(params, batch, rng):
+        k_cfm, k_drop = jax.random.split(rng)
         out = model.apply(params, batch["speech_token"], batch["speech_token_len"],
                           batch["speech_feat"], batch["speech_feat_len"],
-                          batch["embedding"], rng)
+                          batch["embedding"], k_cfm, rngs={"dropout": k_drop})
         return out["loss"], {}
 
     return loss_fn
