@@ -49,7 +49,7 @@ def main():
             flow_cfg, encoder_dtype="bfloat16",
             estimator=dataclasses.replace(
                 flow_cfg.estimator, fused_attention=True, dtype="bfloat16",
-                approx_gelu=True))
+                approx_gelu=True, fused_norm=True))
         # int8 weight-only LM: decode reads weights every step; int8 halves
         # the HBM traffic bound (tokens track fp, test_lm_int8_decode_matches_fp)
         # fused_cache_update: Pallas decode attention + in-place KV append
@@ -58,7 +58,10 @@ def main():
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8",
                                              fused_cache_update=True))
-        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16", approx_sin=True)
+        # lane_pack: space-to-depth the C=64 level — kills the elementwise<->
+        # conv layout-copy ping-pong (see HiFTConfig.lane_pack; exact numerics)
+        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16",
+                                       approx_sin=True, lane_pack=True)
     llm, flow, hift = Qwen2LM(lm_cfg), CausalMaskedDiffWithXvec(flow_cfg), HiFTGenerator(hift_cfg)
 
     def zeros_of(init_fn, fill=0.0):

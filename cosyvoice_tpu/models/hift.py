@@ -63,6 +63,13 @@ class HiFTConfig:
     # fast_sin, max err 6e-6 — below bf16 resolution).  Exact sin is the
     # hottest VPU op in the vocoder at audio rate.
     approx_sin: bool = False
+    # serving: lane-pack narrow-channel levels (space-to-depth along time,
+    # nn/conv.py pack_conv_weights).  At C=64 XLA lays elementwise fusions
+    # out T-minor (to fill 128 lanes) while convs need C-minor, so EVERY
+    # snake/residual<->conv edge pays a whole-tensor transpose copy and the
+    # last upsample level runs ~5x slower than its FLOPs; packed to 128
+    # lanes both agree.  Exact numerics (same MACs, same params).
+    lane_pack: bool = False
 
     @property
     def upsample_scale(self) -> int:
@@ -77,33 +84,56 @@ class SnakeAct(nn.Module):
     channels: int
     alpha_logscale: bool = False
     approx_sin: bool = False
+    pack: int = 1  # lane-packed input [.., pack*channels]: alpha tiles
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.channels,))
+        if self.pack > 1:
+            alpha = jnp.tile(alpha, self.pack)
         return snake(x, alpha, self.alpha_logscale, approx_sin=self.approx_sin)
 
 
 class ResBlock(nn.Module):
-    """MRF residual block: (snake -> dilated conv -> snake -> conv) x len(dilations)."""
+    """MRF residual block: (snake -> dilated conv -> snake -> conv) x len(dilations).
+
+    pack > 1: operates on a lane-packed [B, T/pack, pack*C] view (exact; see
+    HiFTConfig.lane_pack).  Param tree is identical either way.
+    """
 
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
     approx_sin: bool = False
+    pack: int = 1
+
+    def _clean_tail(self, y: jax.Array, pad_tail: int) -> jax.Array:
+        """Re-zero the space-to-depth zero-pad tail after a biased conv, so
+        the next conv's real outputs read exact zeros there (what the
+        unpacked conv's own zero padding would see)."""
+        if self.pack <= 1 or pad_tail == 0:
+            return y
+        C = self.channels
+        m = np.ones((self.pack, C), y.dtype)
+        m[self.pack - pad_tail:] = 0.0
+        # in-place DUS on the final packed row — NOT a whole-tensor concat
+        return y.at[:, -1:].set(y[:, -1:] * m.reshape(1, 1, -1))
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pad_tail: int = 0) -> jax.Array:
         for i, d in enumerate(self.dilations):
             xt = SnakeAct(self.channels, approx_sin=self.approx_sin,
-                          name=f"act1_{i}")(x)
+                          pack=self.pack, name=f"act1_{i}")(x)
             xt = Conv1d(self.channels, self.kernel_size, padding=_get_padding(self.kernel_size, d),
-                        dilation=d, weight_norm=True, name=f"convs1_{i}")(xt)
+                        dilation=d, weight_norm=True, pack=self.pack,
+                        name=f"convs1_{i}")(xt)
+            xt = self._clean_tail(xt, pad_tail)
             xt = SnakeAct(self.channels, approx_sin=self.approx_sin,
-                          name=f"act2_{i}")(xt)
+                          pack=self.pack, name=f"act2_{i}")(xt)
             xt = Conv1d(self.channels, self.kernel_size, padding=_get_padding(self.kernel_size, 1),
-                        weight_norm=True, name=f"convs2_{i}")(xt)
+                        weight_norm=True, pack=self.pack, name=f"convs2_{i}")(xt)
+            xt = self._clean_tail(xt, pad_tail)
             x = x + xt
         return x
 
@@ -184,11 +214,14 @@ class HiFTGenerator(nn.Module):
             else:
                 source_downs.append(Conv1d(ch, du * 2, stride=du, padding=du // 2,
                                            name=f"source_downs_{i}"))
+            pk = max(1, 128 // ch) if cfg.lane_pack else 1
             source_resblocks.append(ResBlock(ch, sk, sd, approx_sin=approx,
+                                             pack=pk,
                                              name=f"source_resblocks_{i}"))
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                              cfg.resblock_dilation_sizes)):
                 resblocks.append(ResBlock(ch, rk, rd, approx_sin=approx,
+                                          pack=pk,
                                           name=f"resblocks_{i}_{j}"))
         self.ups = ups
         self.source_downs = source_downs
@@ -222,12 +255,26 @@ class HiFTGenerator(nn.Module):
             if i == len(self.ups) - 1:
                 x = jnp.concatenate([x[:, 1:2], x], axis=1)  # ReflectionPad1d((1, 0))
             si = self.source_downs[i](s_stft)
-            si = self.source_resblocks[i](si)
+            ch = cfg.base_channels // (2 ** (i + 1))
+            pk = max(1, 128 // ch) if cfg.lane_pack else 1
+            Ti = x.shape[1]
+            if pk > 1:
+                # lane-pack this level (see HiFTConfig.lane_pack): trailing
+                # zero rows are exact (the convs zero-pad there anyway) and
+                # sliced off at exit
+                Tp = -(-Ti // pk) * pk
+                grow = ((0, 0), (0, Tp - Ti), (0, 0))
+                x = jnp.pad(x, grow).reshape(x.shape[0], Tp // pk, pk * ch)
+                si = jnp.pad(si, grow).reshape(si.shape[0], Tp // pk, pk * ch)
+            pad_tail = (-(-Ti // pk) * pk - Ti) if pk > 1 else 0
+            si = self.source_resblocks[i](si, pad_tail=pad_tail)
             x = x + si
             xs = x * 0.0
             for j in range(nk):
-                xs = xs + self.resblocks[i * nk + j](x)
+                xs = xs + self.resblocks[i * nk + j](x, pad_tail=pad_tail)
             x = xs / nk
+            if pk > 1:
+                x = x.reshape(x.shape[0], -1, ch)[:, :Ti]
         x = jax.nn.leaky_relu(x, 0.01)  # torch default slope here, not lrelu_slope
         x = self.conv_post(x).astype(jnp.float32)  # mag/phase + iSTFT in fp32
         nb = n_fft // 2 + 1

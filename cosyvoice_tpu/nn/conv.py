@@ -24,8 +24,50 @@ def _norm_v(v: jax.Array, eps: float = 0.0) -> jax.Array:
     return jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
 
 
+def pack_conv_weights(kernel: jax.Array, dilation: int, pack: int
+                      ) -> tuple[jax.Array, int, int]:
+    """Rearrange a [k, Ci, Co] symmetric-pad conv kernel for lane-packed
+    input [B, T/P, P*Ci] (space-to-depth along time, factor P).
+
+    For y[P s + r] = sum_j x[P s + r + d(j - (k-1)/2)] w[j], writing the
+    input index as P (s + m) + q gives one packed tap W'[m] in
+    R^{(P Ci) x (P Co)} per relative block offset m.  Returns
+    (W' [k', P*Ci, P*Co], pad_left, pad_right) with exact numerics: the
+    same multiply-accumulates, grouped differently.
+
+    Why: at C=64 every elementwise<->conv edge pays a whole-tensor layout
+    copy on TPU (XLA lays elementwise fusions out T-minor to fill 128 lanes,
+    convs need C-minor); at P*C >= 128 lanes both agree and the copies
+    vanish.  Zero extra params — built from the same kernel at apply time.
+    """
+    k, Ci, Co = kernel.shape
+    P = pack
+    p = dilation * (k - 1) // 2
+    taps: dict[int, list[tuple[int, int, int]]] = {}
+    for r in range(P):
+        for j in range(k):
+            idx = r + dilation * j - p
+            m, q = idx // P, idx % P
+            taps.setdefault(m, []).append((j, q, r))
+    m_min, m_max = min(taps), max(taps)
+    kp = m_max - m_min + 1
+    W = jnp.zeros((kp, P * Ci, P * Co), kernel.dtype)
+    for m, entries in taps.items():
+        for j, q, r in entries:
+            W = W.at[m - m_min, q * Ci:(q + 1) * Ci, r * Co:(r + 1) * Co].set(
+                kernel[j])
+    return W, -m_min, m_max
+
+
 class Conv1d(nn.Module):
-    """torch.nn.Conv1d-compatible conv on [B, T, C] tensors."""
+    """torch.nn.Conv1d-compatible conv on [B, T, C] tensors.
+
+    pack > 1: lane-packed mode — input/output are space-to-depth views
+    [B, T/pack, pack*C]; params keep the ORIGINAL [k, Ci, Co] shape (exact
+    checkpoint compatibility), rearranged at apply time via
+    pack_conv_weights.  Requires stride 1, groups 1, symmetric padding
+    dilation*(k-1)/2 (the HiFi-style 'same' resblock convs).
+    """
 
     features: int
     kernel_size: int
@@ -36,10 +78,11 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     weight_norm: bool = False
     dtype: jnp.dtype | None = None
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // self.pack
         k_shape = (self.kernel_size, in_ch // self.groups, self.features)
         if self.weight_norm:
             v = self.param("v", nn.initializers.lecun_normal(), k_shape)
@@ -47,18 +90,27 @@ class Conv1d(nn.Module):
             kernel = g * v / _norm_v(v)
         else:
             kernel = self.param("kernel", nn.initializers.lecun_normal(), k_shape)
-        pad = self.padding if isinstance(self.padding, tuple) else (self.padding, self.padding)
+        if self.pack > 1:
+            assert self.stride == 1 and self.groups == 1
+            assert self.padding == (self.kernel_size - 1) * self.dilation // 2
+            kernel, pl, pr = pack_conv_weights(kernel, self.dilation, self.pack)
+            pad, dil = (pl, pr), 1
+        else:
+            pad = self.padding if isinstance(self.padding, tuple) else (self.padding, self.padding)
+            dil = self.dilation
         y = lax.conv_general_dilated(
             x.astype(self.dtype or x.dtype),
             kernel.astype(self.dtype or x.dtype),
             window_strides=(self.stride,),
             padding=[pad],
-            rhs_dilation=(self.dilation,),
+            rhs_dilation=(dil,),
             feature_group_count=self.groups,
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.pack > 1:
+                b = jnp.tile(b, self.pack)
             y = y + b
         return y
 

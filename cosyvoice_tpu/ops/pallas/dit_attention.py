@@ -105,3 +105,40 @@ def supports(T: int, H: int, D: int) -> bool:
     return (T % 128 == 0 and D <= 128 and 128 % D == 0
             and (H * D) % 128 == 0 and _q_chunk(T, 4) > 0
             and T * 128 * 2 * 3 <= 4 * 1024 * 1024)  # whole-row k/v resident
+
+
+def dit_attention_packed(qkv: jax.Array, lengths: jax.Array, sm_scale: float,
+                         head_dim: int = 64,
+                         interpret: bool = False) -> jax.Array:
+    """Same kernel, but reading q/k/v straight out of the packed [B, T, 3*H*D]
+    projection (lane order q | k | v, heads minor).
+
+    A custom call needs dense operands, so slicing q/k/v out of the packed
+    qkv matmul output first costs three whole-tensor copies (~0.5 ms at
+    serving shapes, ~15%% of the DiT block).  Passing the SAME array three
+    times with lane-offset BlockSpecs gives the kernel three views of one
+    HBM buffer — no copies.  Returns o [B, T, H*D].
+    """
+    B, T, HD3 = qkv.shape
+    HD = HD3 // 3
+    D = head_dim
+    heads_per_blk = max(128 // D, 1)
+    GD = heads_per_blk * D
+    Tq = _q_chunk(T, qkv.dtype.itemsize)
+    assert Tq and HD % GD == 0, (T, HD)
+    G = HD // GD
+    lengths = lengths.astype(jnp.int32)
+    qspec = pl.BlockSpec((1, Tq, GD), lambda b, g, t, lens: (b, t, g))
+    kspec = pl.BlockSpec((1, T, GD), lambda b, g, t, lens: (b, 0, G + g))
+    vspec = pl.BlockSpec((1, T, GD), lambda b, g, t, lens: (b, 0, 2 * G + g))
+    ospec = pl.BlockSpec((1, Tq, GD), lambda b, g, t, lens: (b, t, g))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, G, T // Tq),
+        in_specs=[qspec, kspec, vspec], out_specs=ospec)
+    return pl.pallas_call(
+        functools.partial(_kernel, sm_scale=sm_scale,
+                          heads_per_blk=heads_per_blk, head_dim=D),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), qkv.dtype),
+        interpret=interpret,
+    )(lengths, qkv, qkv, qkv)

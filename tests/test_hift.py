@@ -220,3 +220,44 @@ def test_hift_approx_sin_serving(rng):
     err = np.abs(np.asarray(wavf) - np.asarray(wav32)).mean()
     ref = np.abs(np.asarray(wav32)).mean() + 1e-6
     assert err / ref < 0.2, (err, ref)
+
+
+def test_pack_conv_weights_matches_unpacked(rng):
+    """Lane-packed conv (space-to-depth factor P) == plain conv, all
+    dilations/kernels used by the HiFT/BigVGAN resblocks."""
+    from cosyvoice_tpu.nn.conv import pack_conv_weights
+
+    B, C = 2, 8
+    for P in (2, 4):
+        for k, d in ((3, 1), (7, 3), (11, 5), (7, 1)):
+            T = 24 * P
+            x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+            w = jnp.asarray(rng.standard_normal((k, C, C)).astype(np.float32))
+            pad = d * (k - 1) // 2
+            want = jax.lax.conv_general_dilated(
+                x, w, (1,), ((pad, pad),), rhs_dilation=(d,),
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            Wp, pl_, pr_ = pack_conv_weights(w, d, P)
+            xp = x.reshape(B, T // P, P * C)
+            got = jax.lax.conv_general_dilated(
+                xp, Wp, (1,), ((pl_, pr_),),
+                dimension_numbers=("NWC", "WIO", "NWC")).reshape(B, T, C)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5, rtol=1e-5), (P, k, d)
+
+
+def test_hift_lane_pack_matches_unpacked(rng):
+    """lane_pack=True (serving layout lever) == baseline HiFT, same params."""
+    import dataclasses
+
+    cfg = HiFTConfig(base_channels=64, f0_cond_channels=32)  # levels 32/16/8 ch
+    cfg_p = dataclasses.replace(cfg, lane_pack=True)
+    mel = jnp.asarray((rng.standard_normal((2, 18, 80)) * 0.3).astype(np.float32))
+    k = jax.random.PRNGKey(0)
+    base = HiFTGenerator(cfg, deterministic=True)
+    params = base.init({"params": k, "noise": k}, mel)
+    want, _ = base.apply(params, mel, method=HiFTGenerator.inference)
+    got, _ = HiFTGenerator(cfg_p, deterministic=True).apply(
+        params, mel, method=HiFTGenerator.inference)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)

@@ -94,3 +94,80 @@ def test_lm_decode_attention_per_row_pos(rng):
                                    atol=1e-6, rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(cko[b]), np.asarray(ckb[0]))
         np.testing.assert_array_equal(np.asarray(cvo[b]), np.asarray(cvb[0]))
+
+
+def test_fused_layer_norm_matches_flax(rng):
+    """fused_norm kernel (interpret) + XLA twin == nn.LayerNorm (+mish)."""
+    import flax.linen as nn
+
+    from cosyvoice_tpu.models.flow import mish
+    from cosyvoice_tpu.ops.pallas.fused_norm import (fused_layer_norm,
+                                                     layer_norm_xla, supports)
+
+    B, T, C = 2, 24, 256
+    assert supports(B * T, C)
+    x32 = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32)) * 3.0
+    scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+
+    ln = nn.LayerNorm(epsilon=1e-5)
+    want = ln.apply({"params": {"scale": scale, "bias": bias}}, x32)
+    for f in (layer_norm_xla,
+              lambda *a, **k: fused_layer_norm(*a, **k, interpret=True)):
+        got = f(x32, scale, bias, 1e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=2e-6)
+        got_m = f(x32, scale, bias, 1e-5, act="mish")
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(mish(want)),
+                                   atol=2e-6, rtol=2e-6)
+
+    # bf16 in / bf16 params -> bf16 out, matching flax's promotion
+    xb, sb, bb = (v.astype(jnp.bfloat16) for v in (x32, scale, bias))
+    want_b = ln.apply({"params": {"scale": sb, "bias": bb}}, xb)
+    got_b = fused_layer_norm(xb, sb, bb, 1e-5, interpret=True)
+    assert got_b.dtype == want_b.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got_b, np.float32),
+                               np.asarray(want_b, np.float32), atol=0.06)
+
+
+def test_estimator_fused_norm_config_matches_baseline(rng):
+    """fused_norm=True (XLA twin on CPU) == the nn.LayerNorm estimator."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.flow import ConditionalDecoder, EstimatorConfig
+
+    cfg = EstimatorConfig(in_channels=32, out_channels=8, causal=True,
+                          channels=(256,), n_blocks=1, num_mid_blocks=1,
+                          num_heads=2, attention_head_dim=4)
+    B, T = 2, 16
+    x = jnp.asarray(rng.standard_normal((B, T, 8)).astype(np.float32))
+    mask = jnp.asarray((np.arange(T)[None, :] < np.asarray([16, 11])[:, None])
+                       .astype(np.float32))
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+    base = ConditionalDecoder(cfg)
+    params = base.init(jax.random.PRNGKey(0), x, mask, x, t, x[:, 0], x)
+    want = base.apply(params, x, mask, x, t, x[:, 0], x)
+    fused = ConditionalDecoder(dataclasses.replace(cfg, fused_norm=True))
+    got = fused.apply(params, x, mask, x, t, x[:, 0], x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_dit_attention_packed_matches_unpacked(rng):
+    """dit_attention_packed (lane-offset views of the packed qkv buffer) ==
+    dit_attention on the sliced q/k/v (interpret mode)."""
+    from cosyvoice_tpu.ops.pallas.dit_attention import (dit_attention,
+                                                        dit_attention_packed,
+                                                        supports)
+
+    B, T, H, D = 2, 256, 4, 64
+    assert supports(T, H, D)
+    HD = H * D
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * HD)).astype(np.float32))
+    lens = jnp.asarray([256, 200])
+    q = qkv[..., :HD].reshape(B, T, H, D)
+    k = qkv[..., HD:2 * HD].reshape(B, T, H, D)
+    v = qkv[..., 2 * HD:].reshape(B, T, H, D)
+    want = dit_attention(q, k, v, lens, 0.125, interpret=True).reshape(B, T, HD)
+    got = dit_attention_packed(qkv, lens, 0.125, head_dim=D, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
