@@ -58,11 +58,17 @@ def main():
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8",
                                              fused_cache_update=True))
+        # the fused kernel's fixed per-call cost only amortizes at B >= ~8;
+        # single-stream decodes on the plain head-major path (same params)
+        lm_cfg_b1 = dataclasses.replace(
+            lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen,
+                                             fused_cache_update=False))
         # lane_pack: space-to-depth the C=64 level — kills the elementwise<->
         # conv layout-copy ping-pong (see HiFTConfig.lane_pack; exact numerics)
         hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16",
                                        approx_sin=True, lane_pack=True)
     llm, flow, hift = Qwen2LM(lm_cfg), CausalMaskedDiffWithXvec(flow_cfg), HiFTGenerator(hift_cfg)
+    llm_b1 = Qwen2LM(lm_cfg_b1) if on_tpu else llm  # same param tree
 
     def zeros_of(init_fn, fill=0.0):
         shapes = jax.eval_shape(init_fn)
@@ -118,7 +124,8 @@ def main():
         psp = jnp.tile(psp1, (B, 1))
         n = jnp.full((B,), N_TOKENS)
         cache_len = ((2 + 25 + 50 + N_TOKENS + 127) // 128) * 128
-        out, count = lm_generate(llm, llm_params, text, jnp.full((B,), 25),
+        out, count = lm_generate(llm if B >= 8 else llm_b1, llm_params,
+                                 text, jnp.full((B,), 25),
                                  psp, jnp.full((B,), 50), n, n,
                                  jax.random.PRNGKey(seed), max_steps=N_TOKENS,
                                  cache_len=cache_len)

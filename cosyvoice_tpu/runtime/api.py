@@ -158,12 +158,12 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
                                        estimator=dataclasses.replace(
             flow_cfg.estimator, dtype="bfloat16", approx_gelu=True,
             fused_attention=on_tpu))
-        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16", approx_sin=True)
-        # fused decode-attention + in-place KV append over the packed cache
-        # (ops/pallas/lm_decode_attention.py) — decode-step bandwidth lever
-        lm_cfg = dataclasses.replace(
-            lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen,
-                                             fused_cache_update=on_tpu))
+        hift_cfg = dataclasses.replace(hift_cfg, dtype="bfloat16",
+                                       approx_sin=True, lane_pack=on_tpu)
+        # NOTE: qwen.fused_cache_update (the Pallas decode-attention kernel)
+        # stays OFF here — its fixed per-call cost only amortizes at B >= ~8
+        # (measured: 654 vs 545 us/step at B=1); the batched serving paths
+        # (bench.py, BatchedSynthesizer/ServingEngine callers) enable it.
     if quant == "int8":
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8"))
