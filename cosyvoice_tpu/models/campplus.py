@@ -197,6 +197,25 @@ def campplus_embed(model: CAMPPlus, variables, wav_16k: np.ndarray) -> np.ndarra
     return np.asarray(model.apply(variables, feat[None]))[0]
 
 
+def make_campplus_frontend_fn(model: CAMPPlus, variables):
+    """Jitted `wav16k [S] -> spk vec [emb]` callable for CosyVoiceFrontEnd.
+
+    One compile per distinct prompt length (CAMPPlus pools global statistics
+    over time, so the forward cannot be padded without changing the result —
+    the reference's onnxruntime session likewise runs the exact length).
+    Prompts are typically reused across a session, so recompiles are rare.
+    """
+    import jax
+
+    @jax.jit
+    def _fn(wav):
+        feat = kaldi_fbank(wav)
+        feat = feat - feat.mean(axis=0, keepdims=True)
+        return model.apply(variables, feat[None])[0]
+
+    return lambda wav_16k: np.asarray(_fn(jnp.asarray(wav_16k, jnp.float32)))
+
+
 def import_campplus_torch(state_dict, cfg: CAMPPlusConfig = CAMPPlusConfig()) -> dict:
     """reference CAMPPlus torch state_dict -> {'params', 'batch_stats'}."""
     from cosyvoice_tpu.nn.conv import torch_conv2d_weight, torch_conv_weight
@@ -267,3 +286,26 @@ def import_campplus_torch(state_dict, cfg: CAMPPlusConfig = CAMPPlusConfig()) ->
     _set(P, ("dense_linear",), {"kernel": jnp.asarray(sd["xvector.dense.linear.weight"])[:, :, 0].T})
     bn(("dense_nl", "batchnorm"), "xvector.dense.nonlinear.batchnorm", affine=False)
     return {"params": P, "batch_stats": S}
+
+
+def import_campplus_onnx(path: str, cfg: CAMPPlusConfig = CAMPPlusConfig()) -> dict:
+    """`campplus.onnx` from a reference model dir -> {'params', 'batch_stats'}.
+
+    The deployed campplus.onnx (reference `cli/frontend.py:50-53`) is a torch
+    export of the CAMPPlus module, so its initializer names are the torch
+    state_dict names (`head.conv1.weight`, `xvector.tdnn.linear.weight`, ...)
+    — the same mapping `import_campplus_torch` consumes.  Raises with the
+    available initializer names if the file uses a different naming scheme
+    (e.g. a constant-folded export).
+    """
+    from cosyvoice_tpu.utils.onnx_io import read_onnx_tensors
+
+    sd = read_onnx_tensors(path)
+    try:
+        return import_campplus_torch(sd, cfg)
+    except KeyError as e:
+        sample = sorted(sd)[:12]
+        raise KeyError(
+            f"{path}: initializer {e} not found — the export does not use "
+            f"torch state_dict names (saw e.g. {sample}); re-export the onnx "
+            f"without constant folding or import the torch .pt instead") from e

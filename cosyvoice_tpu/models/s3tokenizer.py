@@ -139,3 +139,146 @@ def s3_tokenize(model: S3TokenizerV2, variables, wav_16k: np.ndarray) -> np.ndar
     mel = whisper_log_mel(jnp.asarray(wav_16k))
     toks, n = model.apply(variables, mel[None], jnp.asarray([mel.shape[0]]))
     return np.asarray(toks[0][: int(n[0])])
+
+
+def make_s3_frontend_fn(model: S3TokenizerV2, variables,
+                        bucket_s: float = 2.0):
+    """Jitted `wav16k [S] -> token ids [T]` callable for CosyVoiceFrontEnd.
+
+    The wav is zero-padded to a `bucket_s`-second bucket so compiles are
+    bounded (<= 15 shapes for the 30 s prompt cap).  Padding is EXACT, not
+    approximate: pad mel frames are forced to zero, which the conv front
+    treats identically to its own zero edge-padding in an exact-length run,
+    and the attention masks pad frames out; the whisper normalization max is
+    unaffected because silence frames sit ~10 dB under any real signal.
+    """
+    import jax
+
+    @jax.jit
+    def _fn(wav, n_samples):
+        mel = whisper_log_mel(wav)                       # [T_pad, n_mels]
+        t_true = n_samples // 160
+        keep = jnp.arange(mel.shape[0])[:, None] < t_true
+        mel = jnp.where(keep, mel, 0.0)
+        toks, n = model.apply(variables, mel[None], t_true[None])
+        return toks[0], n[0]
+
+    def tokenize(wav_16k: np.ndarray) -> np.ndarray:
+        s = len(wav_16k)
+        assert s / 16000 <= 30, "prompt audio must be <= 30 s"
+        bucket = max(int(bucket_s * 16000), 160)
+        s_pad = -(-s // bucket) * bucket
+        wav = np.pad(np.asarray(wav_16k, np.float32), (0, s_pad - s))
+        toks, n = _fn(jnp.asarray(wav), jnp.asarray(s, jnp.int32))
+        return np.asarray(toks)[: int(n)]
+
+    return tokenize
+
+
+# ----------------------------------------------------------- weight import
+#
+# Canonical weight naming (whisper lineage, matching the public s3tokenizer
+# torch port that the released speech_tokenizer_v2.onnx weights map onto):
+#
+#   encoder.conv1.{weight,bias}            [dim, n_mels, 3] torch conv layout
+#   encoder.conv2.{weight,bias}            stride-2 conv
+#   encoder.blocks.{i}.attn.{query,key,value,out}.{weight,bias}   (key: no bias)
+#   encoder.blocks.{i}.attn_ln.{weight,bias}
+#   encoder.blocks.{i}.mlp.{0,2}.{weight,bias}
+#   encoder.blocks.{i}.mlp_ln.{weight,bias}
+#   encoder.ln_post.{weight,bias}
+#   quantizer.project_in.{weight,bias}     FSQ projection (alias: project_down)
+#
+# `encoder.positional_embedding` (fixed sinusoids) is ignored — the module
+# recomputes it.  Linear weights are torch [out, in]; conv [out, in, k].
+
+def _ln(sd, src):
+    return {"scale": jnp.asarray(sd[f"{src}.weight"]),
+            "bias": jnp.asarray(sd[f"{src}.bias"])}
+
+
+def _dense(sd, src, bias=True):
+    p = {"kernel": jnp.asarray(np.asarray(sd[f"{src}.weight"]).T)}
+    if bias and f"{src}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{src}.bias"])
+    return p
+
+
+def import_s3tokenizer_torch(state_dict, cfg: S3Config = S3Config()) -> dict:
+    """Whisper-style named weights (torch state_dict or onnx initializers,
+    see naming table above) -> flax variables for `S3TokenizerV2`."""
+    from cosyvoice_tpu.nn.conv import torch_conv_weight
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # tolerate both bare and 'encoder.'-prefixed names, and FSQ aliases;
+    # candidates are module prefixes, probed via their '.weight' key
+    def find(*cands):
+        for c in cands:
+            if f"{c}.weight" in sd:
+                return c
+        raise KeyError(f"none of {cands} in weights (saw e.g. {sorted(sd)[:8]})")
+
+    def pre(name):
+        return find(f"encoder.{name}", name)
+
+    P: dict = {}
+    for conv in ("conv1", "conv2"):
+        w = pre(conv)
+        P[conv] = {"kernel": torch_conv_weight(sd[f"{w}.weight"]),
+                   "bias": jnp.asarray(sd[f"{w}.bias"])}
+    for i in range(cfg.layers):
+        b = f"blocks.{i}"
+        blk = {
+            "attn_ln": _ln(sd, pre(f"{b}.attn_ln")),
+            "q": _dense(sd, pre(f"{b}.attn.query")),
+            "k": _dense(sd, pre(f"{b}.attn.key"), bias=False),
+            "v": _dense(sd, pre(f"{b}.attn.value")),
+            "out": _dense(sd, pre(f"{b}.attn.out")),
+            "mlp_ln": _ln(sd, pre(f"{b}.mlp_ln")),
+            "mlp_1": _dense(sd, pre(f"{b}.mlp.0")),
+            "mlp_2": _dense(sd, pre(f"{b}.mlp.2")),
+        }
+        P[f"blocks_{i}"] = blk
+    P["ln_post"] = _ln(sd, pre("ln_post"))
+    proj = find("quantizer.project_in", "quantizer.project_down")
+    P["quantizer"] = {"project_in": _dense(sd, proj)}
+    return {"params": P}
+
+
+def import_s3tokenizer_onnx(path: str, cfg: S3Config = S3Config()) -> dict:
+    """`speech_tokenizer_v2.onnx` weights (reference `cli/frontend.py:54-66`)
+    -> flax variables, via the pure-python onnx reader."""
+    from cosyvoice_tpu.utils.onnx_io import read_onnx_tensors
+
+    return import_s3tokenizer_torch(read_onnx_tensors(path), cfg)
+
+
+def s3tokenizer_state_dict(variables, cfg: S3Config = S3Config()) -> dict:
+    """Inverse of `import_s3tokenizer_torch`: flax variables -> whisper-named
+    numpy tensors (torch layouts).  Used to write reference-format .onnx
+    fixtures/checkpoints with utils.onnx_io.write_onnx_tensors."""
+    P = variables["params"]
+    sd: dict[str, np.ndarray] = {}
+    for conv in ("conv1", "conv2"):
+        sd[f"encoder.{conv}.weight"] = np.transpose(
+            np.asarray(P[conv]["kernel"]), (2, 1, 0))
+        sd[f"encoder.{conv}.bias"] = np.asarray(P[conv]["bias"])
+    for i in range(cfg.layers):
+        blk = P[f"blocks_{i}"]
+        b = f"encoder.blocks.{i}"
+        for dst, src in (("attn.query", "q"), ("attn.key", "k"),
+                         ("attn.value", "v"), ("attn.out", "out"),
+                         ("mlp.0", "mlp_1"), ("mlp.2", "mlp_2")):
+            sd[f"{b}.{dst}.weight"] = np.asarray(blk[src]["kernel"]).T
+            if "bias" in blk[src]:
+                sd[f"{b}.{dst}.bias"] = np.asarray(blk[src]["bias"])
+        for dst, src in (("attn_ln", "attn_ln"), ("mlp_ln", "mlp_ln")):
+            sd[f"{b}.{dst}.weight"] = np.asarray(blk[src]["scale"])
+            sd[f"{b}.{dst}.bias"] = np.asarray(blk[src]["bias"])
+    sd["encoder.ln_post.weight"] = np.asarray(P["ln_post"]["scale"])
+    sd["encoder.ln_post.bias"] = np.asarray(P["ln_post"]["bias"])
+    sd["quantizer.project_in.weight"] = np.asarray(
+        P["quantizer"]["project_in"]["kernel"]).T
+    sd["quantizer.project_in.bias"] = np.asarray(
+        P["quantizer"]["project_in"]["bias"])
+    return sd

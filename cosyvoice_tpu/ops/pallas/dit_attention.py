@@ -15,16 +15,19 @@ Per cell and head:  S = q_chunk k^T (fp32 accum) + pad-bias row -> softmax
 -> (P@V)/l.  Forward-only: training uses the reference-faithful XLA path.
 
 The softmax skips the max-subtraction pass: exp ratios are invariant to the
-shift, so it only exists for overflow safety, and a clamp at 75 (exp(75) ~
-2.7e32; a whole-row fp32 sum over T<=4096 stays < ~1.1e36 << fp32 max)
-provides that in one VPU op instead of two whole-tile passes (max-reduce +
-subtract).  The kernel is VPU-bound on exactly these passes (D=64 makes the
-MXU work ~6x cheaper than the softmax), so this is worth ~14% wall time.
-Scores only reach the clamp if |q.k|/8 > 75, far outside LayerNorm'd
-activations; distortion needs TWO+ keys past the clamp (one clamped winner
-saturates to weight ~1 exactly as true softmax would).  The divide is
-floored at 1e-30 so an all-underflow row yields zeros, not NaN.  Pad-key
-bias stays -1e9 -> exp gives exactly 0.
+shift, so it only exists for overflow safety.  sm_scale*log2(e) is folded
+into the query tile so the probability pass is a single exp2 (the VPU
+computes exp as exp2(x*log2e) anyway), and a clamp at 108 in the exp2
+domain (2^108 ~ 3.2e32; a whole-row fp32 sum over T<=4096 stays < ~1.3e36
+<< fp32 max) provides the overflow safety in one VPU op instead of two
+whole-tile passes (max-reduce + subtract).  The kernel is VPU-bound on
+exactly these passes (D=64 makes the MXU work ~6x cheaper than the
+softmax), so this is worth ~14% wall time.  Scores only reach the clamp if
+|q.k|*sm_scale*log2e > 108, far outside LayerNorm'd activations; distortion
+needs TWO+ keys past the clamp (one clamped winner saturates to weight ~1
+exactly as true softmax would).  The divide is floored at 1e-30 so an
+all-underflow row yields zeros, not NaN.  Pad-key bias stays -1e9 -> exp2
+gives exactly 0.
 """
 from __future__ import annotations
 

@@ -122,15 +122,27 @@ class CosyVoice2:
 
 def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
                     max_decode_tokens: int = 800,
-                    fp16: bool = False, quant: str = "none") -> CosyVoice2:
+                    fp16: bool = False, quant: str = "none",
+                    lm_cfg=None, flow_cfg=None, hift_cfg=None,
+                    campplus_cfg=None, s3_cfg=None) -> CosyVoice2:
     """Assemble CosyVoice2 from a reference checkpoint directory
-    (llm.pt / flow.pt / hift.pt + Qwen tokenizer assets).
+    (llm.pt / flow.pt / hift.pt + campplus.onnx + speech_tokenizer_v2.onnx
+    + Qwen tokenizer assets), mirroring what `CosyVoice2.__init__` +
+    `CosyVoiceFrontEnd.__init__` wire up in the reference
+    (cli/cosyvoice.py:128-144, cli/frontend.py:37-66).  The two frozen ONNX
+    models are imported into the native JAX ports (models/campplus,
+    models/s3tokenizer) via the pure-python onnx reader; if either file is
+    missing the frontend is built without it and only modes that need it
+    (zero-shot / cross-lingual / instruct2 / vc) will assert.
 
     fp16=True mirrors the reference's half-precision serving lever
     (cli/cosyvoice.py:30, cli/model.py:43-45): on TPU that means bf16 LM
     params + bf16 flow estimator with the fused-attention fast path.
     quant="int8" additionally stores the LM projection weights int8
     (weight-only, per-channel — utils/quant.py) to halve decode HBM traffic.
+
+    The *_cfg keywords override the full-size default model configs (used by
+    tests and downsized deployments).
     """
     import dataclasses
     import os
@@ -148,7 +160,9 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         return torch.load(os.path.join(model_dir, name), map_location="cpu",
                           weights_only=True)
 
-    lm_cfg, flow_cfg, hift_cfg = LMConfig(), FlowConfig(), HiFTConfig()
+    lm_cfg = lm_cfg or LMConfig()
+    flow_cfg = flow_cfg or FlowConfig()
+    hift_cfg = hift_cfg or HiFTConfig()
     if fp16:
         import jax
 
@@ -204,7 +218,30 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         raw = torch.load(spk2info_path, map_location="cpu", weights_only=False)
         spk2info = {k: {"embedding": np.asarray(v["embedding"]).reshape(-1)}
                     for k, v in raw.items()}
-    frontend = CosyVoiceFrontEnd(tokenizer=tok, spk2info=spk2info)
+
+    # frozen frontend models (cli/frontend.py:50-66): onnx weights -> JAX ports
+    spk_embedder = None
+    campplus_path = os.path.join(model_dir, "campplus.onnx")
+    if os.path.exists(campplus_path):
+        from cosyvoice_tpu.models.campplus import (CAMPPlus, CAMPPlusConfig,
+                                                   import_campplus_onnx,
+                                                   make_campplus_frontend_fn)
+        ccfg = campplus_cfg or CAMPPlusConfig()
+        spk_embedder = make_campplus_frontend_fn(
+            CAMPPlus(ccfg), import_campplus_onnx(campplus_path, ccfg))
+    speech_tokenizer = None
+    st_path = os.path.join(model_dir, "speech_tokenizer_v2.onnx")
+    if os.path.exists(st_path):
+        from cosyvoice_tpu.models.s3tokenizer import (S3Config, S3TokenizerV2,
+                                                      import_s3tokenizer_onnx,
+                                                      make_s3_frontend_fn)
+        scfg = s3_cfg or S3Config()
+        speech_tokenizer = make_s3_frontend_fn(
+            S3TokenizerV2(scfg), import_s3tokenizer_onnx(st_path, scfg))
+
+    frontend = CosyVoiceFrontEnd(tokenizer=tok, spk2info=spk2info,
+                                 speech_tokenizer=speech_tokenizer,
+                                 spk_embedder=spk_embedder)
     return CosyVoice2(frontend=frontend, model=model)
 
 

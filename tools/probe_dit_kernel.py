@@ -26,7 +26,7 @@ lens = jnp.full((B,), 1100, jnp.int32)
 def loop(qkv):
     def body(h, _):
         o = dit_attention_packed(h, lens, 0.125)          # [B, T, INNER]
-        # cheap dependence:写 o back into the q lanes
+        # cheap dependence: write o back into the q lanes
         h = jnp.concatenate([o, h[..., INNER:]], axis=-1)
         return h, None
     return jax.lax.scan(body, qkv, None, length=N)[0]
