@@ -44,9 +44,18 @@ def get_args():
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--mesh_dcn_data", type=int, default=1,
+                   help="data-parallel degree across DCN-connected slices")
     p.add_argument("--epochs", type=int, default=200)
-    p.add_argument("--rank", type=int, default=0)
-    p.add_argument("--world_size", type=int, default=1)
+    # multi-host: pass the jax.distributed triple (or rely on TPU pod
+    # auto-detection / JAX_COORDINATOR_ADDRESS env); rank/world_size for the
+    # data shards then come from jax.process_index()/process_count().
+    # Explicit --rank/--world_size override for single-process data slicing.
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--rank", type=int, default=None)
+    p.add_argument("--world_size", type=int, default=None)
     return p.parse_args()
 
 
@@ -61,20 +70,31 @@ def make_dataset(list_file, conf, tokenizer, rank, world_size, epoch,
     ]
     if with_f0:
         stages.append(pp.compute_f0(sr=conf.get("sample_rate", 24000)))
+    if conf.get("batch_type", "dynamic") == "static":
+        # multi-host SPMD needs identical local batch/shape on every process
+        batcher = pp.static_batch(conf.get("batch_size", 8),
+                                  drop_last=conf.get("drop_last", world_size > 1))
+    else:
+        batcher = pp.dynamic_batch(conf.get("max_frames_in_batch", 2000))
     stages += [
         pp.tokenize(tokenizer),
         pp.shuffle(conf.get("shuffle_buf", 10000)),
         pp.sort_by_feat_len(conf.get("sort_buf", 500)),
-        pp.dynamic_batch(conf.get("max_frames_in_batch", 2000)),
-        pp.padding(gan=gan),
+        batcher,
+        pp.padding(gan=gan, static_lens=conf.get("static_lens")),
     ]
     return pp.Pipeline(shards, pp.jsonl_opener, *stages)
 
 
 def main():
     args = get_args()
+    from cosyvoice_tpu.parallel import distributed as dist
     from cosyvoice_tpu.utils.cache import enable_compilation_cache
 
+    dist.init(args.coordinator_address, args.num_processes, args.process_id)
+    if args.rank is None:
+        args.rank, args.world_size = dist.rank_and_world()
+    args.world_size = args.world_size or 1
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
     conf = load_config(args.config)
@@ -83,7 +103,8 @@ def main():
     model, _ = build_model(kind, model_conf)
     train_conf = conf.get("train_conf", {})
 
-    mesh = make_mesh(args.mesh_data, args.mesh_model)
+    mesh = make_mesh(args.mesh_data, args.mesh_model,
+                     dcn_data=args.mesh_dcn_data)
     tokenizer = (QwenTokenizer(args.tokenizer_path) if args.tokenizer_path
                  else ByteTokenizer())
 

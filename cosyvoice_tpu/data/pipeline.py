@@ -164,7 +164,11 @@ def sort_by_feat_len(buf_size=500):
     return stage
 
 
-def static_batch(batch_size=8):
+def static_batch(batch_size=8, drop_last=False):
+    """Fixed-size batches (processor.py:292-309).  `drop_last=True` is
+    required for multi-host training: every process must contribute the
+    same local batch size to `shard_batch`'s global array assembly."""
+
     def stage(it):
         buf = []
         for s in it:
@@ -172,7 +176,7 @@ def static_batch(batch_size=8):
             if len(buf) >= batch_size:
                 yield buf
                 buf = []
-        if buf:
+        if buf and not drop_last:
             yield buf
 
     return stage
@@ -208,12 +212,26 @@ def round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def padding(use_spk_embedding=False, gan=False, bucket_multiple=32):
+def padding(use_spk_embedding=False, gan=False, bucket_multiple=32,
+            static_lens: dict | None = None):
     """list of samples -> padded numpy batch dict (processor.py:355-431).
 
     Lengths are rounded UP to `bucket_multiple` so the jit sees a small set
     of static shapes (the TPU replacement for torch's per-batch dynamic pad).
+    `static_lens` pins FIXED padded lengths per key (e.g. {"speech_feat": 512,
+    "speech_token": 256, "text_token": 64}) — required for multi-host
+    training, where every process must compile the identical program; pair it
+    with `filter_samples` caps so no sample exceeds its pin.
     """
+    static_lens = static_lens or {}
+
+    def pad_len(key, longest, multiple):
+        if key in static_lens:
+            assert longest <= static_lens[key], (
+                f"{key}: sample length {longest} exceeds static_lens pin "
+                f"{static_lens[key]} — tighten filter_samples")
+            return static_lens[key]
+        return round_up(longest, multiple)
 
     def stage(it):
         for samples in it:
@@ -221,18 +239,18 @@ def padding(use_spk_embedding=False, gan=False, bucket_multiple=32):
                              reverse=True)
             batch = {"utts": [s.get("utt", "") for s in samples]}
             feat_len = np.asarray([s["speech_feat"].shape[0] for s in samples], np.int32)
-            L = round_up(int(feat_len.max()), bucket_multiple)
+            L = pad_len("speech_feat", int(feat_len.max()), bucket_multiple)
             batch["speech_feat"] = _pad_to([s["speech_feat"] for s in samples], L)
             batch["speech_feat_len"] = feat_len
             if "speech_token" in samples[0]:
                 tok_len = np.asarray([len(s["speech_token"]) for s in samples], np.int32)
-                Lt = round_up(int(tok_len.max()), bucket_multiple // 2)
+                Lt = pad_len("speech_token", int(tok_len.max()), bucket_multiple // 2)
                 batch["speech_token"] = _pad_to(
                     [np.asarray(s["speech_token"], np.int32) for s in samples], Lt)
                 batch["speech_token_len"] = tok_len
             if "text_token" in samples[0]:
                 txt_len = np.asarray([len(s["text_token"]) for s in samples], np.int32)
-                Lx = round_up(int(txt_len.max()), 8)
+                Lx = pad_len("text_token", int(txt_len.max()), 8)
                 batch["text_token"] = _pad_to(
                     [np.asarray(s["text_token"], np.int32) for s in samples], Lx)
                 batch["text_token_len"] = txt_len

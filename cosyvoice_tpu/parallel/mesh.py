@@ -24,11 +24,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: int = -1, model: int = 1,
-              devices: Optional[list] = None) -> Mesh:
+              devices: Optional[list] = None, dcn_data: int = 1) -> Mesh:
+    """Mesh(("data", "model")) over the GLOBAL device list.
+
+    `data` is the global data-parallel degree (-1 = all devices / model).
+    On TPU, `mesh_utils.create_device_mesh` orders devices so the "model"
+    axis rides the fastest ICI dimension; `dcn_data > 1` builds a hybrid
+    mesh for multi-slice deployments (data-parallel outer axis over DCN,
+    everything else inside each ICI slice) — the GSPMD replacement for the
+    reference's NCCL process groups (utils/train_utils.py:47-58).
+    """
     devices = devices if devices is not None else jax.devices()
     if data == -1:
         data = len(devices) // model
-    dev = np.asarray(devices[: data * model]).reshape(data, model)
+    from jax.experimental import mesh_utils
+
+    if dcn_data > 1:
+        assert data % dcn_data == 0, (data, dcn_data)
+        dev = mesh_utils.create_hybrid_device_mesh(
+            (data // dcn_data, model), (dcn_data, 1), devices=devices)
+        return Mesh(dev, ("data", "model"))
+    try:
+        dev = mesh_utils.create_device_mesh((data, model),
+                                            devices=devices[: data * model])
+    except (ValueError, AssertionError, NotImplementedError):
+        # non-TPU backends / partial device lists: plain row-major layout
+        dev = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev, ("data", "model"))
 
 
@@ -92,6 +113,26 @@ def param_shardings(params, mesh: Mesh, rules: list[tuple[str, P]]):
 def shard_params(params, mesh: Mesh, rules: list[tuple[str, P]]):
     shardings = param_shardings(params, mesh, rules)
     return jax.device_put(params, shardings), shardings
+
+
+def sharded_bytes_fraction(params, mesh: Mesh,
+                           rules: list[tuple[str, P]]) -> float:
+    """Fraction of parameter BYTES whose resolved spec shards >= 1 dim.
+
+    Diagnostic guard against silent whole-model replication (e.g. a config
+    change making a dim non-divisible so `_fits` demotes it): callers assert
+    a floor on the full-size config.  Accepts arrays or ShapeDtypeStructs
+    (use jax.eval_shape to avoid materializing the full-size model).
+    """
+    shardings = param_shardings(params, mesh, rules)
+    tot = sharded = 0
+    for leaf, s in zip(jax.tree_util.tree_leaves(params),
+                       jax.tree_util.tree_leaves(shardings)):
+        nbytes = int(np.prod(leaf.shape)) * np.dtype(leaf.dtype).itemsize
+        tot += nbytes
+        if any(ax is not None for ax in s.spec):
+            sharded += nbytes
+    return sharded / max(tot, 1)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

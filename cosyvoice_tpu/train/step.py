@@ -59,8 +59,24 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict on the mesh, sharded over the data axis."""
-    return jax.device_put(batch, NamedSharding(mesh, P("data")))
+    """Place a host batch dict on the mesh, sharded over the data axis.
+
+    Single-process: a plain device_put.  Multi-process (jax.distributed):
+    each host holds only ITS shard of the global batch, so the global array
+    is assembled with `make_array_from_process_local_data` — every host must
+    contribute the same local batch size and identical padded feature shapes
+    (use `static_batch(drop_last=True)` + `padding(static_lens=...)` in the
+    pipeline).  Replaces the reference's per-rank DDP batches
+    (utils/train_utils.py:61-77 dataloaders + DDP allreduce).
+    """
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
 
 
 # --------------------------------------------------------------------------
