@@ -140,8 +140,10 @@ def main():
         float(jnp.sum(jnp.abs(wav[:, ::1000])))
         return wav
 
-    results = {}
-    for B in (1,) + BATCHES:
+    only = os.environ.get("BENCH_ONLY", "")  # "", "batch", "ragged", "stream"
+
+    results = {1: 0.0}
+    for B in ((1,) + BATCHES if only in ("", "batch") else ()):
         log(f"B={B}: warmup/compile...")
         wav = run(B, 0)
         assert np.isfinite(np.asarray(wav)).all(), "non-finite waveform"
@@ -157,12 +159,102 @@ def main():
 
     best_b = max(results, key=results.get)
     value = results[best_b]
+
+    # ---- ragged serving batch (round-1 VERDICT bench-methodology gap):
+    # per-row decode lengths 350..500 tokens; audio credited = emitted only.
+    # The while_loop still runs to the longest row, so this prices the
+    # ragged-batch padding cost that uniform-length tiling hides.
+    def run_ragged(B, seed):
+        text = jnp.tile(text1, (B, 1))
+        psp = jnp.tile(psp1, (B, 1))
+        lens = jnp.asarray(np.linspace(350, N_TOKENS, B).astype(np.int32))
+        cache_len = ((2 + 25 + 50 + N_TOKENS + 127) // 128) * 128
+        out, count = lm_generate(llm, llm_params, text, jnp.full((B,), 25),
+                                 psp, jnp.full((B,), 50), lens, lens,
+                                 jax.random.PRNGKey(seed), max_steps=N_TOKENS,
+                                 cache_len=cache_len)
+        tok = jnp.concatenate([psp, out], axis=1)
+        mel = flow_infer(flow_params, tok, 50 + count,
+                         jnp.tile(prompt_feat1, (B, 1, 1)), jnp.tile(emb1, (B, 1)))
+        wav, _ = hift_infer(hift_params, mel, jax.random.PRNGKey(seed))
+        float(jnp.sum(jnp.abs(wav[:, ::1000])))
+        return float(jnp.sum(count))
+
+    ragged_rt = 0.0
+    if only in ("", "ragged"):
+        B = BATCHES[-1]
+        log(f"ragged B={B}: warmup/compile...")
+        run_ragged(B, 0)
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            n_emitted = run_ragged(B, i + 1)
+            times.append(time.time() - t0)
+        ragged_rt = (n_emitted / 25.0) / min(times)
+        log(f"ragged B={B}: {min(times):.2f}s for {n_emitted / 25.0:.0f}s audio "
+            f"-> {ragged_rt:.1f}x realtime")
+
+    # ---- streaming latency (TTFB): B=1 through the chunked orchestrator —
+    # the reference's first-chunk budget is 2 s (cli/model.py:312,384-396)
+    import dataclasses as _dc
+
+    from cosyvoice_tpu.runtime.model import CosyVoice2Model
+
+    stream_tokens = 150
+    ratio = stream_tokens / 25.0  # text1 is 25 tokens
+    lm_cfg_stream = _dc.replace(
+        lm_cfg_b1 if on_tpu else lm_cfg,
+        min_token_text_ratio=ratio, max_token_text_ratio=ratio)
+    smodel = CosyVoice2Model(
+        llm=Qwen2LM(lm_cfg_stream), flow=flow, hift=hift,
+        llm_params=llm_params, flow_params=flow_params,
+        hift_params=hift_params, max_decode_tokens=stream_tokens)
+
+    def stream_run(seed):
+        t0 = time.time()
+        ttfb = None
+        total = 0
+        chunk_times = []
+        for out in smodel.tts(
+                text_tokens=np.asarray(text1[0]), prompt_text_len=0,
+                llm_prompt_speech_token=np.asarray(psp1[0]),
+                flow_prompt_speech_token=np.asarray(psp1[0]),
+                prompt_speech_feat=np.asarray(prompt_feat1[0]),
+                flow_embedding=np.asarray(emb1[0]), stream=True,
+                rng=jax.random.PRNGKey(seed)):
+            now = time.time()
+            if ttfb is None:
+                ttfb = now - t0
+            chunk_times.append(now - t0)
+            total += len(out["tts_speech"])
+        return ttfb, total / 24000.0, time.time() - t0
+
+    ttfb_ms = stream_rt = 0.0
+    if only in ("", "stream"):
+        log("stream B=1: warmup/compile...")
+        t0 = time.time()
+        stream_run(0)
+        log(f"stream warmup done in {time.time() - t0:.1f}s")
+        ttfbs, rts = [], []
+        for i in range(2):
+            ttfb, audio_s, dt = stream_run(i + 1)
+            ttfbs.append(ttfb)
+            rts.append(audio_s / dt)
+        ttfb_ms = min(ttfbs) * 1000.0
+        stream_rt = max(rts)
+        log(f"stream B=1: TTFB {ttfb_ms:.0f} ms (budget 2000), "
+            f"{stream_rt:.1f}x realtime streaming")
+
     print(json.dumps({
         "metric": (f"full text->wav audio-seconds/s per chip "
                    f"(int8 LM, bf16 flow, B={best_b} serving; "
                    f"1-stream {results[1]:.1f}x)"),
         "value": round(value, 2), "unit": "audio_s/s",
-        "vs_baseline": round(value / 50.0, 3)}))
+        "vs_baseline": round(value / 50.0, 3),
+        "single_stream_x": round(results[1], 2),
+        "ragged_b32_x": round(ragged_rt, 2),
+        "stream_ttfb_ms": round(ttfb_ms, 1),
+        "stream_rt_x": round(stream_rt, 2)}))
 
 
 if __name__ == "__main__":

@@ -56,14 +56,35 @@ def get_args():
     p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--rank", type=int, default=None)
     p.add_argument("--world_size", type=int, default=None)
+    p.add_argument("--data_format", choices=["jsonl", "spk_json", "parquet"],
+                   default="jsonl",
+                   help="train_data shard format: jsonl lines or the "
+                        "speaker-keyed JSON production corpus")
+    p.add_argument("--s3_ckpt", default=None,
+                   help="frozen speech-tokenizer weights for online-codec "
+                        "labels (.onnx); random-init if omitted")
+    p.add_argument("--spk_ckpt", default=None,
+                   help="frozen SpeakerEmbedding torch .pt for online spk "
+                        "vectors; random-init if omitted")
     return p.parse_args()
 
 
 def make_dataset(list_file, conf, tokenizer, rank, world_size, epoch,
-                 gan=False, with_f0=False):
+                 gan=False, with_f0=False, data_format="jsonl"):
     shards = [l.strip() for l in open(list_file) if l.strip()]
     shards = pp.shard_list(shards, rank, world_size, epoch=epoch)
-    stages = [
+    if data_format == "parquet":
+        # v1 corpus format (processor.py:29-57): wav bytes + offline tokens
+        # + utt/spk embeddings in the rows
+        opener = pp.parquet_opener
+        pre = [pp.decode_audio_bytes(), pp.parse_embedding()]
+    elif data_format == "spk_json":
+        opener = pp.spk_json_source
+        pre = []
+    else:
+        opener = pp.jsonl_opener
+        pre = []
+    stages = pre + [
         pp.filter_samples(**conf.get("filter", {})),
         pp.resample(conf.get("sample_rate", 24000)),
         pp.compute_fbank(**conf.get("fbank", {})),
@@ -83,7 +104,7 @@ def make_dataset(list_file, conf, tokenizer, rank, world_size, epoch,
         batcher,
         pp.padding(gan=gan, static_lens=conf.get("static_lens")),
     ]
-    return pp.Pipeline(shards, pp.jsonl_opener, *stages)
+    return pp.Pipeline(shards, opener, *stages)
 
 
 def main():
@@ -108,16 +129,36 @@ def main():
     tokenizer = (QwenTokenizer(args.tokenizer_path) if args.tokenizer_path
                  else ByteTokenizer())
 
+    if args.model == "llm" and "phoneme" in kind:
+        run_phoneme_llm_training(args, conf, model, kind, train_conf,
+                                 tokenizer, mesh)
+        return
+
     # init params from one batch
     is_gan = args.model in ("hift", "bigvgan", "vits")
     ds = make_dataset(args.train_data, conf.get("data", {}), tokenizer,
                       args.rank, args.world_size, 0,
-                      gan=is_gan, with_f0=(args.model == "hift"))
+                      gan=is_gan, with_f0=(args.model == "hift"),
+                      data_format=args.data_format)
     first = next(iter(ds))
     from cosyvoice_tpu.train.executor import arrays_only
     b0 = {k: jnp.asarray(v) for k, v in arrays_only(first).items()}
     rng = jax.random.PRNGKey(train_conf.get("seed", 1986))
-    if args.model == "llm":
+    if args.model == "llm" and kind == "transformer_lm":
+        # v1 LM (llm.py:42-237): spk embedding in the prefix, parquet-style
+        # batches carry utt/spk embeddings (processor.py padding :426-429)
+        params = model.init(rng, b0["text_token"], b0["text_token_len"],
+                            b0["speech_token"], b0["speech_token_len"],
+                            b0["embedding"])
+
+        def loss_fn(p, batch, r):
+            out = model.apply(p, batch["text_token"], batch["text_token_len"],
+                              batch["speech_token"], batch["speech_token_len"],
+                              batch["embedding"])
+            return out["loss"], {"acc": out["acc"]}
+
+        rules = []
+    elif args.model == "llm":
         params = model.init(rng, b0["text_token"], b0["text_token_len"],
                             b0["speech_token"], b0["speech_token_len"])
         loss_fn = llm_loss_fn(model)
@@ -158,11 +199,134 @@ def main():
     ex.step = int(state.step)
     for epoch in range(args.epochs):
         ds = make_dataset(args.train_data, conf.get("data", {}), tokenizer,
-                          args.rank, args.world_size, epoch)
+                          args.rank, args.world_size, epoch,
+                          data_format=args.data_format)
         cv = (list(make_dataset(args.cv_data, conf.get("data", {}), tokenizer,
-                                0, 1, 0)) if args.cv_data else None)
+                                0, 1, 0, data_format=args.data_format))
+              if args.cv_data else None)
         state = ex.train_one_epoch(state, ds, cv_data=cv,
                                    to_device=lambda b: shard_batch(b, mesh))
+
+
+def run_phoneme_llm_training(args, conf, model, kind, train_conf, tokenizer,
+                             mesh):
+    """Phoneme-conditioned LLM training (round-1 VERDICT missing #3).
+
+    Behavioral spec: reference `bin/train_phoneme_online_codec.py:40-253` +
+    `dataset/processor_kaldidata.py:217-380,497+`: spk-json corpus ->
+    MFA-duration-aligned truncation -> 4-way factored phoneme ids
+    (pho_token [B, T, 4]) -> online codec labels (frozen s3 tokenizer +
+    SpeakerEmbedding run on the batch audio every step) -> CE training of
+    the Qwen2LM_Phoneme* variants.
+    """
+    import numpy as np
+
+    from cosyvoice_tpu.tokenizer.phoneme import PhonemeTokenizer
+    from cosyvoice_tpu.train.executor import Executor, arrays_only
+    from cosyvoice_tpu.train.online_codec import (OnlineCodecLabeler,
+                                                  online_codec_epoch)
+
+    dconf = conf.get("data", {})
+    pho_tok = PhonemeTokenizer(dconf["phoneme_dict"])
+    hop = dconf.get("fbank", {}).get("hop", 480)
+
+    def make_ds(epoch):
+        shards = [l.strip() for l in open(args.train_data) if l.strip()]
+        shards = pp.shard_list(shards, args.rank, args.world_size, epoch=epoch)
+        opener = (pp.spk_json_source if args.data_format == "spk_json"
+                  else pp.jsonl_opener)
+        if dconf.get("batch_type", "static") == "static":
+            batcher = pp.static_batch(
+                dconf.get("batch_size", 8),
+                drop_last=dconf.get("drop_last", args.world_size > 1))
+        else:
+            batcher = pp.dynamic_batch(dconf.get("max_frames_in_batch", 2000))
+        return pp.Pipeline(shards, opener, *[
+            pp.filter_samples(**dconf.get("filter", {})),
+            pp.truncate_phoneme_sequence(**dconf.get("truncate_phoneme", {}),
+                                         seed=epoch),
+            pp.resample(dconf.get("sample_rate", 24000)),
+            pp.compute_fbank(**dconf.get("fbank", {})),
+            pp.tokenize(tokenizer),
+            pp.tokenize_phoneme(pho_tok),
+            pp.shuffle(dconf.get("shuffle_buf", 10000), seed=epoch),
+            pp.sort_by_feat_len(dconf.get("sort_buf", 500)),
+            batcher,
+            # gan=hop carries padded batch audio for the online labelers
+            pp.padding(gan=hop, static_lens=dconf.get("static_lens")),
+        ])
+
+    # frozen label models (reference train_utils.py:434-457)
+    s3_conf = dict(conf.get("s3", {"kind": "s3tokenizer"}))
+    s3_model, s3_cfg = build_model(s3_conf.pop("kind"), s3_conf)
+    if args.s3_ckpt:
+        from cosyvoice_tpu.models.s3tokenizer import import_s3tokenizer_onnx
+        s3_params = import_s3tokenizer_onnx(args.s3_ckpt, s3_cfg)
+    else:
+        logging.warning("no --s3_ckpt: online codec labels from RANDOM "
+                        "tokenizer weights (smoke/test runs only)")
+        mel0 = jnp.zeros((1, 8, s3_cfg.n_mels))
+        s3_params = s3_model.init(jax.random.PRNGKey(0), mel0, jnp.asarray([8]))
+    spk_model = spk_params = None
+    if "speaker" in conf:
+        spk_conf = dict(conf["speaker"])
+        spk_model, spk_cfg = build_model(spk_conf.pop("kind"), spk_conf)
+        if args.spk_ckpt:
+            import torch as _torch
+
+            from cosyvoice_tpu.models.speaker import \
+                import_speaker_embedding_torch
+            spk_params = import_speaker_embedding_torch(
+                _torch.load(args.spk_ckpt, map_location="cpu",
+                            weights_only=True), spk_cfg)
+        else:
+            logging.warning("no --spk_ckpt: RANDOM speaker-embedding weights")
+            sr = dconf.get("sample_rate", 24000)
+            spk_params = spk_model.init(
+                {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+                jnp.zeros((1, sr)), jax.random.PRNGKey(3))
+    labeler = OnlineCodecLabeler(s3_model=s3_model, s3_params=s3_params,
+                                 spk_model=spk_model, spk_params=spk_params,
+                                 sample_rate=dconf.get("sample_rate", 24000))
+
+    first = labeler.label_batch(arrays_only(next(iter(make_ds(0)))),
+                                np.random.default_rng(0), jax.random.PRNGKey(0))
+    b0 = {k: jnp.asarray(v) for k, v in arrays_only(first).items()}
+    rng = jax.random.PRNGKey(train_conf.get("seed", 1986))
+    params = model.init(rng, b0["text_token"], b0["text_token_len"],
+                        b0["pho_token"], b0["pho_token_len"],
+                        b0["speech_token"], b0["speech_token_len"],
+                        b0["embedding"])
+    params, _ = shard_params(params, mesh, LM_RULES)
+
+    def loss_fn(p, batch, r):
+        out = model.apply(p, batch["text_token"], batch["text_token_len"],
+                          batch["pho_token"], batch["pho_token_len"],
+                          batch["speech_token"], batch["speech_token_len"],
+                          batch["embedding"], r, deterministic=False,
+                          rngs={"dropout": jax.random.fold_in(r, 1)})
+        return out["loss"], {"acc": out["acc"]}
+
+    tx, _ = make_optimizer(
+        train_conf.get("optim", "adam"), train_conf.get("lr", 1e-3),
+        train_conf.get("scheduler", "warmuplr"),
+        train_conf.get("scheduler_conf", {"warmup_steps": 25000}),
+        grad_clip=train_conf.get("grad_clip", 5.0),
+        accum_grad=train_conf.get("accum_grad", 1))
+    state = make_train_state(params, tx)
+    step = make_train_step(loss_fn, tx)
+    if latest_step(args.model_dir) is not None:
+        state, at = restore_checkpoint(args.model_dir, state)
+        logging.info("resumed from step %d", at)
+
+    ex = Executor(train_step=step, model_dir=args.model_dir,
+                  save_per_step=train_conf.get("save_per_step", -1),
+                  log_interval=train_conf.get("log_interval", 100))
+    ex.step = int(state.step)
+    for epoch in range(args.epochs):
+        state = online_codec_epoch(
+            ex, state, labeler, iter(make_ds(epoch)),
+            to_device=lambda b: shard_batch(b, mesh), seed=epoch)
 
 
 def run_gan_training(args, conf, model, train_conf, tokenizer, rng, b0):
@@ -278,7 +442,8 @@ def run_gan_training(args, conf, model, train_conf, tokenizer, rng, b0):
     for epoch in range(args.epochs):
         ds = make_dataset(args.train_data, conf.get("data", {}), tokenizer,
                           args.rank, args.world_size, epoch,
-                          gan=True, with_f0=(args.model == "hift"))
+                          gan=True, with_f0=(args.model == "hift"),
+                          data_format=args.data_format)
         g_state, d_state = ex.train_one_epoch_gan(
             g_state, d_state, ds,
             to_device=lambda b: {k: jnp.asarray(v) for k, v in b.items()})

@@ -131,6 +131,131 @@ def tokenize(tokenizer):
     return stage
 
 
+def parquet_opener(it):
+    """v1 parquet corpus source (reference `dataset/processor.py:29-57`),
+    via the pure-python reader in data/parquet_io.py."""
+    from cosyvoice_tpu.data.parquet_io import parquet_opener as _po
+
+    yield from _po(it)
+
+
+def decode_audio_bytes():
+    """'audio_data' (in-row WAV bytes, the v1 parquet layout) -> float
+    speech + sample_rate (reference loads via torchaudio in resample)."""
+    import io
+    import wave
+
+    def stage(it):
+        for s in it:
+            if "audio_data" in s and "speech" not in s:
+                with wave.open(io.BytesIO(s["audio_data"])) as w:
+                    sr = w.getframerate()
+                    data = np.frombuffer(w.readframes(w.getnframes()),
+                                         dtype=np.int16)
+                    if w.getnchannels() > 1:
+                        data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+                s = dict(s, speech=data.astype(np.float32) / 32768.0,
+                         sample_rate=sr)
+                s.pop("audio_data")
+            yield s
+
+    return stage
+
+
+def parse_embedding(normalize: bool = True):
+    """utt_embedding / spk_embedding list columns -> float32 vectors,
+    L2-normalized like the reference (`processor.py:203-218`); 'embedding'
+    aliases utt_embedding for the padding stage's utt-level default."""
+
+    def stage(it):
+        for s in it:
+            for k in ("utt_embedding", "spk_embedding"):
+                if k in s:
+                    v = np.asarray(s[k], np.float32)
+                    if normalize:
+                        v = v / max(float(np.linalg.norm(v)), 1e-12)
+                    s[k] = v
+            if "utt_embedding" in s:
+                s.setdefault("embedding", s["utt_embedding"])
+            yield s
+
+    return stage
+
+
+def truncate_phoneme_sequence(prob: float = 0.5, prosody_weights=None,
+                              prosody_len=None, min_len: int = 2,
+                              min_dur: float = 0.08, seed: int = 0):
+    """MFA-duration-aligned random crop at a prosody boundary
+    (reference `processor_kaldidata.py:217-262`): with probability `prob`,
+    pick a #1/#2/#3 prosody mark (index > min_len, weighted), cut the audio
+    at the summed MFA duration, append the mark's silence, and keep only the
+    phonemes up to the cut.  Samples whose durations disagree with the audio
+    (> 0.2 s) or whose phoneme/duration counts differ are DROPPED (reference
+    'continue's without yielding).  Needs 'phoneme' + 'durations' fields
+    (spk-json corpora); passes through samples without them."""
+    prosody_weights = prosody_weights or {"#1": 0.5, "#2": 1.0, "#3": 1.0}
+    prosody_len = prosody_len or {"#1": 0.001, "#2": 0.25, "#3": 0.35}
+
+    def stage(it):
+        r = random.Random(seed)
+        for s in it:
+            pho, dur = s.get("phoneme"), s.get("durations")
+            if pho is None or dur is None:
+                yield s
+                continue
+            if isinstance(pho, str):
+                pho = pho.split()
+            wav, sr = s["speech"], s["sample_rate"]
+            if r.random() < prob:
+                if len(wav) / sr - float(np.sum(dur)) > 0.2:
+                    continue  # MFA duration does not match the audio: drop
+                if len(pho) != len(dur):
+                    continue  # phoneme/duration length mismatch: drop
+                idxs = [i for i, x in enumerate(pho)
+                        if x in prosody_weights and i > min_len]
+                if idxs:
+                    i = r.choices(idxs, [prosody_weights[pho[j]] for j in idxs])[0]
+                    d = float(np.sum(np.asarray(dur[: i + 1], np.float64)))
+                    if d > min_dur:
+                        wav = np.pad(wav[: int(d * sr)],
+                                     (0, int(prosody_len[pho[i]] * sr)))
+                        pho = pho[: i + 1]
+            out = dict(s, phoneme=pho, speech=wav)
+            out.pop("durations", None)
+            yield out
+
+    return stage
+
+
+def tokenize_phoneme(tokenizer, drop_bad: bool = True):
+    """phoneme strings -> 4-way factored id streams
+    (reference `processor_kaldidata.py:342-380`): pho_token / text_tone /
+    text_lang / text_prsd on the sample; unknown phonemes drop the sample
+    (reference logs + 'continue's)."""
+    import logging as _logging
+
+    def stage(it):
+        for s in it:
+            pho = s.get("phoneme")
+            if pho is None:
+                yield s
+                continue
+            if isinstance(pho, str):
+                pho = pho.split()
+            try:
+                pho_ids, tone_ids, lang_ids, prsd_ids = tokenizer.encode(pho)
+            except (KeyError, ValueError, IndexError) as e:
+                _logging.warning("%s: phoneme encode failed (%s) — dropped",
+                                 s.get("utt", "?"), e)
+                if drop_bad:
+                    continue
+                raise
+            yield dict(s, pho_token=pho_ids, text_tone=tone_ids,
+                       text_lang=lang_ids, text_prsd=prsd_ids)
+
+    return stage
+
+
 def shuffle(buf_size=10000, seed=0):
     def stage(it):
         rng = random.Random(seed)
@@ -254,6 +379,17 @@ def padding(use_spk_embedding=False, gan=False, bucket_multiple=32,
                 batch["text_token"] = _pad_to(
                     [np.asarray(s["text_token"], np.int32) for s in samples], Lx)
                 batch["text_token_len"] = txt_len
+            if "text_tone" in samples[0]:
+                # factored phoneme ids -> pho_token [B, T, 4]
+                # (reference processor_kaldidata.py:556-574)
+                pho_len = np.asarray([len(s["pho_token"]) for s in samples],
+                                     np.int32)
+                Lp = pad_len("pho_token", int(pho_len.max()), 8)
+                streams = [
+                    _pad_to([np.asarray(s[k], np.int32) for s in samples], Lp)
+                    for k in ("pho_token", "text_tone", "text_lang", "text_prsd")]
+                batch["pho_token"] = np.stack(streams, axis=-1)
+                batch["pho_token_len"] = pho_len
             if "embedding" in samples[0]:
                 key = "spk_embedding" if use_spk_embedding else "embedding"
                 batch["embedding"] = np.stack(
@@ -335,6 +471,10 @@ def spk_json_source(json_paths: list, rng_seed: int = 0,
                 sample["phoneme"] = u["phoneme"]
             if "durations" in u:
                 sample["durations"] = u["durations"]
+            if "embedding" in u:
+                # offline speaker vector (reference get_codec_and_spkemb's
+                # offline spk-vec cache path, train_utils.py:459-545)
+                sample["embedding"] = np.asarray(u["embedding"], np.float32)
             yield sample
             if rich_sample_short_utt and len(wav) / sr < 2.0:
                 yield dict(sample)  # oversample short utterances

@@ -622,6 +622,12 @@ class UpsampleConformerEncoder(nn.Module):
     up_blocks: int = 4
     pre_lookahead_len: int = 3
     up_stride: int = 2
+    # v2-flow encoder (upsample_encoder.py:99-320) applies the static chunk
+    # mask whenever static_chunk_size > 0 — production sets it to 2*fr
+    # (cli/model.py:314) so even non-stream inference is chunk-masked.  The
+    # stream-family v2 encoder (upsample_encoder.py:501,514) instead gates
+    # the mask on the runtime `streaming` flag — set chunk_always=False.
+    chunk_always: bool = True
 
     @nn.compact
     def __call__(self, xs: jax.Array, lens: jax.Array,
@@ -642,8 +648,14 @@ class UpsampleConformerEncoder(nn.Module):
         else:
             xs = embed(xs, deterministic)
         pos_emb = espnet_rel_pos_emb(T, cfg.dim, xs.dtype)
-        chunk = cfg.static_chunk_size if streaming else 0
+        chunk = cfg.static_chunk_size if (self.chunk_always or streaming) else 0
         attn_mask = add_chunk_mask(pad, chunk)
+        # zero pad positions before the right-looking lookahead conv: the
+        # embed LayerNorm maps zero inputs to its bias (nonzero), and the
+        # conv would leak that into the last pre_lookahead_len VALID tokens —
+        # the reference runs exact lengths where the conv right-pad is zero
+        # (upsample_encoder.py:87), so bucketed padding must look identical
+        xs = xs * pad[..., None].astype(xs.dtype)
         xs = PreLookaheadLayer(cfg.dim, self.pre_lookahead_len,
                                name="pre_lookahead_layer")(xs, context)
         for i in range(cfg.num_blocks):
@@ -656,7 +668,7 @@ class UpsampleConformerEncoder(nn.Module):
         pad2 = make_non_pad_mask(lens2, T2)
         xs = LinearEmbed(cfg.dim, cfg.dropout_rate, name="up_embed")(xs, deterministic)
         pos_emb2 = espnet_rel_pos_emb(T2, cfg.dim, xs.dtype)
-        attn_mask2 = add_chunk_mask(pad2, chunk * self.up_stride if streaming else 0)
+        attn_mask2 = add_chunk_mask(pad2, chunk * self.up_stride)
         for i in range(self.up_blocks):
             xs = ConformerEncoderLayer(cfg, name=f"up_encoders_{i}")(
                 xs, pos_emb2, attn_mask2, pad2, deterministic)

@@ -192,26 +192,66 @@ def mel_l1_loss(real: jax.Array, gen: jax.Array, mel_transforms) -> jax.Array:
 
 
 class DiscriminatorS(nn.Module):
-    """Scale discriminator (discriminator.py:320-348); spectral-norm variant
-    approximated with plain weight-norm (training-dynamics difference only)."""
+    """Scale discriminator (discriminator.py:320-348).  use_spectral_norm
+    mirrors the torch variant exactly: weight = W / (u^T W_mat v) with the
+    u/v power-iteration buffers imported from the checkpoint (eval-exact);
+    sn_iters > 0 refreshes u/v per forward for training (nn/conv.py)."""
+
+    use_spectral_norm: bool = False
+    sn_iters: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, list[jax.Array]]:
         from cosyvoice_tpu.nn.conv import Conv1d
 
+        sn = self.use_spectral_norm
+        norm_kw = dict(weight_norm=not sn, spectral_norm=sn,
+                       sn_iters=self.sn_iters if sn else 0)
         h = x[..., None]  # [B, T, 1]
         fmap = []
         specs = [(128, 15, 1, 7, 1), (128, 41, 2, 20, 4), (256, 41, 2, 20, 16),
                  (512, 41, 4, 20, 16), (1024, 41, 4, 20, 16),
                  (1024, 41, 1, 20, 16), (1024, 5, 1, 2, 1)]
         for i, (ch, k, s, p, g) in enumerate(specs):
-            h = Conv1d(ch, k, stride=s, padding=p, groups=g, weight_norm=True,
+            h = Conv1d(ch, k, stride=s, padding=p, groups=g, **norm_kw,
                        name=f"convs_{i}")(h)
             h = jax.nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
-        h = Conv1d(1, 3, padding=1, weight_norm=True, name="conv_post")(h)
+        h = Conv1d(1, 3, padding=1, **norm_kw, name="conv_post")(h)
         fmap.append(h)
         return h.reshape(h.shape[0], -1), fmap
+
+
+def import_discriminator_s_torch(sd: dict, prefix: str = "",
+                                 use_spectral_norm: bool = False) -> dict:
+    """reference DiscriminatorS state_dict -> params.  weight_norm layers
+    carry weight_g/weight_v; spectral_norm layers carry weight_orig plus the
+    weight_u/weight_v power-iteration buffers (imported so eval sigma is
+    torch-exact)."""
+    from cosyvoice_tpu.nn.conv import torch_conv_weight
+
+    def conv(src):
+        if use_spectral_norm:
+            return {"kernel": torch_conv_weight(sd[f"{src}.weight_orig"]),
+                    "sn_u": jnp.asarray(np.asarray(sd[f"{src}.weight_u"])),
+                    "sn_v": jnp.asarray(np.asarray(sd[f"{src}.weight_v"])),
+                    "bias": jnp.asarray(np.asarray(sd[f"{src}.bias"]))}
+        return {"v": torch_conv_weight(sd[f"{src}.weight_v"]),
+                "g": jnp.asarray(np.asarray(sd[f"{src}.weight_g"])).reshape(1, 1, -1),
+                "bias": jnp.asarray(np.asarray(sd[f"{src}.bias"]))}
+
+    p = {f"convs_{i}": conv(f"{prefix}convs.{i}") for i in range(7)}
+    p["conv_post"] = conv(f"{prefix}conv_post")
+    return p
+
+
+def import_msd_torch(sd: dict) -> dict:
+    """reference MultiScaleDiscriminator state_dict -> {'params': ...}
+    (discriminator.py:350-379; discriminators.0 is the spectral-norm one)."""
+    return {"params": {
+        f"discriminators_{i}": import_discriminator_s_torch(
+            sd, f"discriminators.{i}.", use_spectral_norm=(i == 0))
+        for i in range(3)}}
 
 
 def _avg_pool_421(x: jax.Array) -> jax.Array:
@@ -223,7 +263,10 @@ def _avg_pool_421(x: jax.Array) -> jax.Array:
 
 
 class MultiScaleDiscriminator(nn.Module):
-    """3 scale discriminators with 2x mean-pooling (discriminator.py:350-379)."""
+    """3 scale discriminators with 2x mean-pooling (discriminator.py:350-379);
+    the first uses spectral norm like the reference (:354-356)."""
+
+    sn_iters: int = 0  # power-iteration refreshes per training forward
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
@@ -232,7 +275,9 @@ class MultiScaleDiscriminator(nn.Module):
             if i != 0:
                 y = _avg_pool_421(y)
                 y_hat = _avg_pool_421(y_hat)
-            d = DiscriminatorS(name=f"discriminators_{i}")
+            d = DiscriminatorS(use_spectral_norm=(i == 0),
+                               sn_iters=self.sn_iters,
+                               name=f"discriminators_{i}")
             r, fr = d(y)
             g, fg = d(y_hat)
             y_d_rs.append(r)

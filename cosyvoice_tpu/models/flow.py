@@ -432,6 +432,24 @@ def _fixed_noise(frames: int, channels: int = 80) -> np.ndarray:
     return np.random.default_rng(0).standard_normal((1, frames, channels)).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def reference_rand_noise(frames: int = 15000, channels: int = 80) -> np.ndarray:
+    """The reference's pinned CFM noise, exactly: `CausalConditionalCFM`
+    seeds torch with 0 and draws `randn([1, 80, 50 * 300])` once
+    (`cosyvoice/flow/flow_matching.py:212-213`), then slices `[:, :, :T]`
+    per synthesis.  Returns the identical buffer in this repo's [1, T, 80]
+    layout so wav output is allclose to the reference
+    (BASELINE.md per-stage numerics target).  A committed asset guards the
+    cross-torch-version stability of this draw (test_reference_noise.py)."""
+    import torch
+
+    g = torch.Generator().manual_seed(0)
+    # set_all_random_seed(0) seeds the global generator; replicate without
+    # touching global state (same Philox/MT stream as torch.manual_seed(0))
+    torch_buf = torch.randn([1, channels, 15000], generator=g)
+    return torch_buf[:, :, :frames].permute(0, 2, 1).numpy().copy()
+
+
 def cosine_t_span(n_timesteps: int, dtype=jnp.float32) -> jax.Array:
     ts = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=dtype)
     return 1.0 - jnp.cos(ts * 0.5 * jnp.pi)
@@ -554,7 +572,11 @@ class CausalMaskedDiffWithXvec(nn.Module):
         self.spk_embed_affine_layer = nn.Dense(cfg.output_size)
         self.encoder = UpsampleConformerEncoder(
             cfg.encoder, up_blocks=4, pre_lookahead_len=cfg.pre_lookahead_len,
-            up_stride=cfg.token_mel_ratio)
+            up_stride=cfg.token_mel_ratio,
+            # stream family (UpsampleConformerEncoder_v2) gates the chunk
+            # mask on the runtime streaming flag; the base v2 encoder chunks
+            # whenever static_chunk_size > 0 (see conformer.py chunk_always)
+            chunk_always=not cfg.estimator.stream)
         self.encoder_proj = nn.Dense(cfg.output_size)
         self.decoder = CausalConditionalCFM(cfg.cfm, cfg.estimator)
 

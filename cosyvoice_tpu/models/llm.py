@@ -448,36 +448,14 @@ class TransformerLM(nn.Module):
         return self.speech_embedding(tokens)
 
 
-@partial(jax.jit, static_argnames=("model", "max_steps", "cache_len", "has_spk"))
-def lm_generate_v1(model: TransformerLM, params, text, text_len, prompt_speech,
-                   prompt_speech_len, embedding, min_len, max_len, rng,
-                   max_steps: int, cache_len: int, has_spk: bool = True):
-    """v1 AR generation (llm.py:171-237): conformer-decode with KV cache,
-    EOS forced off at step 0 (llm.py:220-222); the fork's sampling_ids does
-    NOT re-draw on EOS (llm.py:163-168), so min_len only gates suppression
-    at i==0 like the reference."""
+def _v1_machinery(model: TransformerLM, params, max_len):
+    """v1 per-step sample/advance/body closures, shared by the one-shot
+    decode and the chunked streaming driver.  Reference semantics
+    (llm.py:163-168, 217-237): EOS forced off at step 0 only (the fork's
+    sampling_ids does NOT re-draw on EOS), done on tok >= eos or max_len."""
     cfg = model.cfg
     eos = cfg.eos_token
-    B = text.shape[0]
-    embeds, seq_len = model.apply(params, text, text_len, prompt_speech,
-                                  prompt_speech_len,
-                                  embedding if has_spk else None,
-                                  method=TransformerLM.prefill_embeds)
-    cache = ConformerKVCache.create(cfg.llm, B, cache_len, embeds.dtype)
-    hidden, cache = model.apply(params, embeds, cache,
-                                method=TransformerLM.llm_prefill)
-    last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
-    # NOTE: prefill writes seq_len..Tp garbage for short rows; B=1 exact.
-
     win = cfg.sampling.win_size
-    state = GenState(cache=cache,
-                     prev_emb=jnp.zeros((B, 1, cfg.llm_input_size), embeds.dtype),
-                     step=jnp.zeros((), jnp.int32),
-                     count=jnp.zeros((B,), jnp.int32),
-                     done=jnp.zeros((B,), bool),
-                     out=jnp.zeros((B, max_steps), jnp.int32),
-                     recent=jnp.zeros((B, win), jnp.int32),
-                     recent_n=jnp.zeros((B,), jnp.int32), rng=rng)
 
     def sample_from(hidden_last, state):
         logits = model.apply(params, hidden_last, method=TransformerLM.decode_logits)
@@ -505,20 +483,100 @@ def lm_generate_v1(model: TransformerLM, params, text, text_len, prompt_speech,
                               count=state.count + emitted, done=done, out=out,
                               recent=recent, recent_n=recent_n, rng=rng)
 
-    tok0, rng0 = sample_from(last, state)
-    state = advance(state, tok0, rng0)
-
-    def cond(state):
-        return (~jnp.all(state.done)) & (state.step < max_steps)
-
     def body(state):
         hidden, cache = model.apply(params, state.prev_emb, state.cache,
                                     method=TransformerLM.llm_decode_step)
         tok, rng = sample_from(hidden, state)
         return advance(state._replace(cache=cache), tok, rng)
 
+    return sample_from, advance, body
+
+
+def _v1_prefill_state(model: TransformerLM, params, text, text_len,
+                      prompt_speech, prompt_speech_len, embedding, max_len,
+                      rng, max_steps: int, cache_len: int, has_spk: bool):
+    """Prefill the conformer cache + sample the first token."""
+    cfg = model.cfg
+    B = text.shape[0]
+    embeds, seq_len = model.apply(params, text, text_len, prompt_speech,
+                                  prompt_speech_len,
+                                  embedding if has_spk else None,
+                                  method=TransformerLM.prefill_embeds)
+    cache = ConformerKVCache.create(cfg.llm, B, cache_len, embeds.dtype)
+    hidden, cache = model.apply(params, embeds, cache,
+                                method=TransformerLM.llm_prefill)
+    last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
+    # NOTE: prefill writes seq_len..Tp garbage for short rows; B=1 exact
+    # (guarded by the B==1 assert in lm_generate_v1 / the v1 runtime).
+
+    win = cfg.sampling.win_size
+    state = GenState(cache=cache,
+                     prev_emb=jnp.zeros((B, 1, cfg.llm_input_size), embeds.dtype),
+                     step=jnp.zeros((), jnp.int32),
+                     count=jnp.zeros((B,), jnp.int32),
+                     done=jnp.zeros((B,), bool),
+                     out=jnp.zeros((B, max_steps), jnp.int32),
+                     recent=jnp.zeros((B, win), jnp.int32),
+                     recent_n=jnp.zeros((B,), jnp.int32), rng=rng)
+    sample_from, advance, _ = _v1_machinery(model, params, max_len)
+    tok0, rng0 = sample_from(last, state)
+    return advance(state, tok0, rng0)
+
+
+@partial(jax.jit, static_argnames=("model", "max_steps", "cache_len", "has_spk"))
+def lm_generate_v1(model: TransformerLM, params, text, text_len, prompt_speech,
+                   prompt_speech_len, embedding, min_len, max_len, rng,
+                   max_steps: int, cache_len: int, has_spk: bool = True):
+    """v1 AR generation (llm.py:171-237): conformer-decode with KV cache.
+    min_len is accepted for signature parity but — like the reference — only
+    step 0 suppresses EOS.  Prefill masks per-row padding only at B=1."""
+    assert text.shape[0] == 1, (
+        "lm_generate_v1 is exact for B=1 only (prefill leaves unmasked "
+        "garbage K/V for rows shorter than the padded prefix); batch v1 "
+        "decode rows independently or use the v2 engine")
+    state = _v1_prefill_state(model, params, text, text_len, prompt_speech,
+                              prompt_speech_len, embedding, max_len, rng,
+                              max_steps, cache_len, has_spk)
+    _, _, body = _v1_machinery(model, params, max_len)
+
+    def cond(state):
+        return (~jnp.all(state.done)) & (state.step < max_steps)
+
     state = jax.lax.while_loop(cond, body, state)
     return state.out, state.count
+
+
+class StreamStateV1(NamedTuple):
+    """Carry for v1 chunked decode (llm producer interleaved with synthesis,
+    replacing the reference's producer thread, cli/model.py:116-128)."""
+
+    gen: GenState
+
+
+@partial(jax.jit, static_argnames=("model", "max_steps", "cache_len", "has_spk"))
+def lm_prefill_stream_v1(model, params, text, text_len, prompt_speech,
+                         prompt_speech_len, embedding, max_len, rng,
+                         max_steps: int, cache_len: int,
+                         has_spk: bool = True) -> StreamStateV1:
+    assert text.shape[0] == 1, "v1 streaming decode is B=1 (see lm_generate_v1)"
+    gen = _v1_prefill_state(model, params, text, text_len, prompt_speech,
+                            prompt_speech_len, embedding, max_len, rng,
+                            max_steps, cache_len, has_spk)
+    return StreamStateV1(gen)
+
+
+@partial(jax.jit, static_argnames=("model", "n_steps", "max_steps"))
+def lm_decode_chunk_v1(model, params, state: StreamStateV1, max_len,
+                       n_steps: int, max_steps: int) -> StreamStateV1:
+    """Advance the v1 decode by up to n_steps (stops early on EOS/max_len)."""
+    _, _, body = _v1_machinery(model, params, max_len)
+    start = state.gen.step
+
+    def cond(gen):
+        return (~jnp.all(gen.done)) & (gen.step < max_steps) & \
+               (gen.step - start < n_steps)
+
+    return StreamStateV1(jax.lax.while_loop(cond, body, state.gen))
 
 
 def import_transformer_lm_torch(state_dict, cfg: TransformerLMConfig) -> dict:

@@ -24,6 +24,11 @@ def _norm_v(v: jax.Array, eps: float = 0.0) -> jax.Array:
     return jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
 
 
+def _l2n(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    # torch F.normalize(dim=0, eps=1e-12) on a vector
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
 def pack_conv_weights(kernel: jax.Array, dilation: int, pack: int
                       ) -> tuple[jax.Array, int, int]:
     """Rearrange a [k, Ci, Co] symmetric-pad conv kernel for lane-packed
@@ -77,6 +82,14 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     weight_norm: bool = False
+    # torch nn.utils.spectral_norm semantics: weight = W / sigma with
+    # sigma = u^T W_mat v.  u/v are imported from the torch buffers (exact
+    # eval parity) or initialized random.  sn_iters > 0 refreshes them with
+    # that many stop-gradient power iterations per forward — the functional
+    # stand-in for torch's persisted single-iteration warm start during
+    # training (converged sigma is identical; no mutable state in the step).
+    spectral_norm: bool = False
+    sn_iters: int = 0
     dtype: jnp.dtype | None = None
     pack: int = 1
 
@@ -88,6 +101,24 @@ class Conv1d(nn.Module):
             v = self.param("v", nn.initializers.lecun_normal(), k_shape)
             g = self.param("g", lambda key, shape: jnp.ones(shape), (1, 1, self.features))
             kernel = g * v / _norm_v(v)
+        elif self.spectral_norm:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(), k_shape)
+            # torch weight_mat = weight_orig.reshape(out, -1) on [out, in, k]
+            w_mat = jnp.transpose(kernel, (2, 1, 0)).reshape(self.features, -1)
+            norm01 = nn.initializers.normal(1.0)
+            u = self.param("sn_u", lambda key, shape:
+                           _l2n(norm01(key, shape)), (self.features,))
+            v_sn = self.param("sn_v", lambda key, shape:
+                              _l2n(norm01(key, shape)), (w_mat.shape[1],))
+            if self.sn_iters:
+                wm = jax.lax.stop_gradient(w_mat)
+                uu = jax.lax.stop_gradient(u)
+                for _ in range(self.sn_iters):
+                    v_sn = _l2n(wm.T @ uu)
+                    uu = _l2n(wm @ v_sn)
+                u = uu
+            sigma = u @ w_mat @ v_sn
+            kernel = kernel / sigma
         else:
             kernel = self.param("kernel", nn.initializers.lecun_normal(), k_shape)
         if self.pack > 1:

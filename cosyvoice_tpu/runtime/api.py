@@ -124,7 +124,8 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
                     max_decode_tokens: int = 800,
                     fp16: bool = False, quant: str = "none",
                     lm_cfg=None, flow_cfg=None, hift_cfg=None,
-                    campplus_cfg=None, s3_cfg=None) -> CosyVoice2:
+                    campplus_cfg=None, s3_cfg=None,
+                    reference_noise: bool = True) -> CosyVoice2:
     """Assemble CosyVoice2 from a reference checkpoint directory
     (llm.pt / flow.pt / hift.pt + campplus.onnx + speech_tokenizer_v2.onnx
     + Qwen tokenizer assets), mirroring what `CosyVoice2.__init__` +
@@ -205,12 +206,19 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
     hift_params = import_hift_torch(hift_sd, hift_cfg)
     if fp16:
         hift_params = to_bf16(hift_params)
+    flow_noise = None
+    if reference_noise and flow_cfg.output_size == 80:
+        # reproduce the reference's seed-0 pinned CFM noise buffer so wav
+        # output is allclose to the reference (flow_matching.py:212-213)
+        from cosyvoice_tpu.models.flow import reference_rand_noise
+        flow_noise = reference_rand_noise(flow_cfg.cfm.noise_frames)
     model = CosyVoice2Model(
         llm=llm, flow=flow, hift=hift,
         llm_params=llm_params,
         flow_params=flow_params,
         hift_params=hift_params,
-        max_decode_tokens=max_decode_tokens)
+        max_decode_tokens=max_decode_tokens,
+        flow_noise=flow_noise)
     tok = QwenTokenizer(tokenizer_path or os.path.join(model_dir, "CosyVoice-BlankEN"))
     spk2info = {}
     spk2info_path = os.path.join(model_dir, "spk2info.pt")

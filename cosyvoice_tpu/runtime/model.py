@@ -59,6 +59,11 @@ class CosyVoice2Model:
     hift_params: dict
     sample_rate: int = 24000
     max_decode_tokens: int = 800  # static cap on generated speech tokens
+    # pinned CFM noise [1, N, 80] (models.flow.reference_rand_noise) — set to
+    # reproduce the reference's seed-0 buffer slice-for-slice so synthesized
+    # wav is allclose to the reference (flow_matching.py:212-213,235).  None
+    # falls back to the framework-seeded buffer (same distribution).
+    flow_noise: Optional[np.ndarray] = None
 
     def __post_init__(self):
         fr = self.flow.cfg.input_frame_rate          # 25
@@ -73,9 +78,10 @@ class CosyVoice2Model:
 
         @partial(jax.jit, static_argnames=("streaming",))
         def _flow_infer(params, token, token_len, prompt_feat, embedding,
-                        streaming=False):
+                        noise=None, streaming=False):
             return flow_model.apply(params, token, token_len, prompt_feat,
-                                    embedding, streaming=streaming,
+                                    embedding, noise=noise,
+                                    streaming=streaming,
                                     method=CausalMaskedDiffWithXvec.inference)
 
         @jax.jit
@@ -125,9 +131,17 @@ class CosyVoice2Model:
         bucket = max(round_up(n, self.token_hop_len), self.token_hop_len)
         tok_pad = np.zeros(bucket, np.int32)
         tok_pad[:n] = tok
+        noise = None
+        if self.flow_noise is not None:
+            need = self.ratio * bucket
+            assert self.flow_noise.shape[1] >= need, (
+                f"flow_noise buffer ({self.flow_noise.shape[1]} frames) too "
+                f"short for {need} mel frames")
+            noise = jnp.asarray(self.flow_noise[:, :need])
         mel = self._flow_infer(self.flow_params, jnp.asarray(tok_pad)[None],
                                jnp.asarray([n]), jnp.asarray(prompt_feat)[None],
-                               jnp.asarray(embedding)[None], streaming=streaming)
+                               jnp.asarray(embedding)[None], noise,
+                               streaming=streaming)
         # valid generated mel: ratio * (n - len(prompt_tokens)); drop pad tail
         valid = self.ratio * (n - len(prompt_tokens))
         mel = np.asarray(mel)[0, :valid]
@@ -431,23 +445,56 @@ class CosyVoiceV1Model:
             llm_embedding=None, stream=False, speed=1.0, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(int(time.time_ns() % (1 << 31)))
         session = {"hift": None, "mel_overlap": None, "flow_cache": None}
-        tokens = list(self.llm_generate(text_tokens, prompt_text_len,
-                                        llm_prompt_speech_token,
-                                        llm_embedding, rng))
         prompt_feat = np.asarray(prompt_speech_feat, np.float32)
         emb = np.asarray(flow_embedding, np.float32)
         fpt = np.asarray(flow_prompt_speech_token, np.int32)
         if not stream:
+            tokens = self.llm_generate(text_tokens, prompt_text_len,
+                                       llm_prompt_speech_token, llm_embedding,
+                                       rng)
             yield {"tts_speech": self.token2wav(np.asarray(tokens), fpt,
                                                 prompt_feat, emb, session,
                                                 finalize=True, speed=speed)}
             return
+        # streaming: interleave hop-sized LLM decode chunks with synthesis so
+        # the first chunk is emitted after ~hop+overlap tokens instead of the
+        # whole decode — the reference's producer-thread overlap
+        # (cli/model.py:116-128,177-238) as host-driven jitted chunk programs
+        from cosyvoice_tpu.models.llm import (lm_decode_chunk_v1,
+                                              lm_prefill_stream_v1)
+
+        text = jnp.asarray(text_tokens)[None]
+        psp = jnp.asarray(llm_prompt_speech_token)[None].astype(jnp.int32)
+        new_text = text.shape[1] - prompt_text_len
+        cap = self.max_decode_tokens
+        # clamp to the static cap so the done flag fires even when the text
+        # ratio allows more tokens than the decode buffer holds
+        max_len = jnp.asarray(
+            [min(int(new_text * self.llm.cfg.max_token_text_ratio), cap)])
+        has_spk = llm_embedding is not None and np.asarray(llm_embedding).size > 0
+        lemb = (jnp.asarray(llm_embedding)[None] if has_spk
+                else jnp.zeros((1, self.llm.cfg.spk_embed_dim)))
+        cache_len = round_up(3 + text.shape[1] + psp.shape[1] + cap, 128)
+        state = lm_prefill_stream_v1(
+            self.llm, self.llm_params, text, jnp.asarray([text.shape[1]]),
+            psp, jnp.asarray([psp.shape[1]]), lemb, max_len, rng,
+            max_steps=cap, cache_len=cache_len, has_spk=has_spk)
+        consumed = 0
         hop = self.token_min_hop_len
-        while len(tokens) >= hop + self.token_overlap_len:
-            chunk = np.asarray(tokens[: hop + self.token_overlap_len])
-            yield {"tts_speech": self.token2wav(chunk, fpt, prompt_feat, emb,
-                                                session, finalize=False)}
-            tokens = tokens[hop:]
-            hop = min(self.token_max_hop_len, int(hop * self.stream_scale_factor))
-        yield {"tts_speech": self.token2wav(np.asarray(tokens), fpt, prompt_feat,
+        while True:
+            state = lm_decode_chunk_v1(self.llm, self.llm_params, state,
+                                       max_len, n_steps=hop, max_steps=cap)
+            count = int(state.gen.count[0])
+            done = bool(state.gen.done[0])
+            tokens = np.asarray(state.gen.out[0][:count])
+            while count - consumed >= hop + self.token_overlap_len:
+                chunk = tokens[consumed: consumed + hop + self.token_overlap_len]
+                yield {"tts_speech": self.token2wav(chunk, fpt, prompt_feat,
+                                                    emb, session, finalize=False)}
+                consumed += hop
+                hop = min(self.token_max_hop_len,
+                          int(hop * self.stream_scale_factor))
+            if done or int(state.gen.step) >= cap:
+                break
+        yield {"tts_speech": self.token2wav(tokens[consumed:], fpt, prompt_feat,
                                             emb, session, finalize=True)}

@@ -118,6 +118,10 @@ def test_full_flow_inference_parity(rng):
     ref = RefFlow(input_size=512, output_size=80, spk_embed_dim=192,
                   vocab_size=50, input_frame_rate=25, token_mel_ratio=2,
                   pre_lookahead_len=3, encoder=ref_enc, decoder=ref_cfm).eval()
+    # production always chunk-masks the flow encoder (cli/model.py:314 sets
+    # static_chunk_size = 2*fr on load); mirror it so parity covers the
+    # deployed attention pattern (our enc_cfg has static_chunk_size=50)
+    ref_enc.static_chunk_size = 50
 
     Tp, Tg = 4, 8
     token = rng.integers(0, 50, (1, Tp + Tg)).astype(np.int64)

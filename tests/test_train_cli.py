@@ -78,3 +78,132 @@ def test_transcribe_stage_injects_text():
     out = list(transcribe_stage(transcriber=lambda w, sr: "asr text")(iter(samples)))
     assert out[0]["txt"] == "asr text"
     assert out[1]["txt"] == "already"
+
+
+def test_train_cli_phoneme_llm_spk_json(tmp_path, monkeypatch):
+    """Round-1 VERDICT missing #3: the phoneme training data path.
+
+    Tiny spk-json corpus (wav files + MFA durations + phoneme strings +
+    offline speaker vectors) -> truncate_phoneme_sequence -> tokenize_phoneme
+    -> pho_token [B, T, 4] padding -> online-codec speech tokens (random
+    frozen s3) -> Qwen2LM_Phoneme_Src2 CE steps through bin/train.py.
+    """
+    import yaml
+
+    from cosyvoice_tpu.bin.inference import write_wav
+
+    sr = 24000
+    rng = np.random.default_rng(3)
+    pho_dict = {"sil": 0, "n": 1, "i": 2, "h": 3, "ao": 4, "uo": 5, "m": 6}
+    dict_path = tmp_path / "pho2id.json"
+    dict_path.write_text(json.dumps(pho_dict))
+
+    corpus = {}
+    for spk in ("spkA", "spkB"):
+        utts = []
+        for i in range(3):
+            # ~1.2 s of audio; phonemes with prosody marks and durations
+            pho = ["sil", "n", "i3", "#1", "h", "ao3", "#3", "m", "uo2", "sil"]
+            dur = [0.1, 0.12, 0.15, 0.0, 0.12, 0.18, 0.0, 0.12, 0.2, 0.1]
+            n = int(sum(dur) * sr) + 480
+            wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+            path = tmp_path / f"{spk}_{i}.wav"
+            write_wav(str(path), wav, sr)
+            utts.append({"utt": f"{spk}_{i}", "wav": str(path),
+                         "duration": n / sr, "text": "ni hao",
+                         "phoneme": " ".join(pho), "durations": dur,
+                         "embedding": rng.standard_normal(16).tolist()})
+        corpus[spk] = utts
+    corpus_path = tmp_path / "corpus.json"
+    corpus_path.write_text(json.dumps(corpus))
+    lst = tmp_path / "train.list"
+    lst.write_text(str(corpus_path) + "\n")
+
+    conf = {
+        "llm": {"kind": "qwen2lm_phoneme_src2",
+                "llm_input_size": 32, "llm_output_size": 32,
+                "speech_token_size": 24, "spk_embed_dim": 16,
+                "phoneme": {"text_token_size": 8, "text_token_dim": 16,
+                            "text_tone_size": 16, "text_tone_dim": 8,
+                            "text_lang_size": 2, "text_lang_dim": 4,
+                            "text_prsd_size": 6, "text_prsd_dim": 4},
+                "encoder": {"input_size": 32, "dim": 32, "heads": 2,
+                            "linear_units": 48, "num_blocks": 1,
+                            "dropout_rate": 0.1,
+                            "attention_dropout_rate": 0.0},
+                "fusion_heads": 2, "fusion_ffn": 48,
+                "qwen": {"vocab_size": 300, "hidden_size": 32,
+                         "num_layers": 1, "num_heads": 4, "num_kv_heads": 2,
+                         "head_dim": 8, "intermediate_size": 64}},
+        "s3": {"kind": "s3tokenizer", "dim": 32, "heads": 2, "layers": 1,
+               "fsq_dim": 2},  # 3^2 = 9 token vocab < speech_token_size
+        "data": {"sample_rate": sr, "phoneme_dict": str(dict_path),
+                 "batch_size": 3,
+                 "fbank": {"n_fft": 192, "hop": 48, "n_mels": 20, "sr": sr},
+                 "filter": {"max_length": 99999, "token_max_length": 300},
+                 "shuffle_buf": 10, "sort_buf": 4},
+        "train_conf": {"lr": 1e-4, "log_interval": 1,
+                       "scheduler_conf": {"warmup_steps": 10}},
+    }
+    cfg_path = tmp_path / "conf.yaml"
+    cfg_path.write_text(yaml.safe_dump(conf))
+    model_dir = str(tmp_path / "exp_pho")
+
+    from cosyvoice_tpu.bin import train as train_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "train", "--config", str(cfg_path), "--model", "llm",
+        "--train_data", str(lst), "--model_dir", model_dir,
+        "--data_format", "spk_json", "--epochs", "1",
+        # batch of 3 does not divide the 8-device virtual mesh
+        "--mesh_data", "1"])
+    train_cli.main()
+
+    metrics = [json.loads(l) for l in open(os.path.join(model_dir,
+                                                        "metrics.jsonl"))]
+    assert metrics, "no metrics logged"
+    assert np.isfinite(metrics[-1]["loss"])
+    assert np.isfinite(metrics[-1]["acc"])
+    from cosyvoice_tpu.train.checkpoint import latest_step
+    assert latest_step(model_dir) is not None
+
+
+def test_pho_token_padding_and_truncate(tmp_path):
+    """Stage-level checks: [B, T, 4] assembly + MFA-aligned crop semantics."""
+    from cosyvoice_tpu.data import pipeline as pp
+    from cosyvoice_tpu.tokenizer.phoneme import PhonemeTokenizer
+
+    dict_path = tmp_path / "d.json"
+    dict_path.write_text(json.dumps({"sil": 0, "n": 1, "i": 2}))
+    tok = PhonemeTokenizer(str(dict_path))
+
+    sr = 1000
+    wav = np.ones(1000, np.float32)
+    pho = ["sil", "n", "i3", "n", "#2", "i1", "sil"]
+    dur = [0.1, 0.2, 0.2, 0.2, 0.0, 0.2, 0.1]
+    s = {"utt": "u0", "speech": wav, "sample_rate": sr,
+         "phoneme": pho, "durations": dur}
+    # prob=1 forces the crop; the only eligible mark is #2 at index 4
+    out = list(pp.truncate_phoneme_sequence(prob=1.0, seed=0)(iter([dict(s)])))
+    assert len(out) == 1
+    o = out[0]
+    assert o["phoneme"] == pho[:5]
+    # wav cut at sum(dur[:5]) = 0.7 s plus 0.25 s #2 silence
+    assert len(o["speech"]) == 700 + 250
+    assert (o["speech"][700:] == 0).all()
+    assert "durations" not in o
+
+    # duration/audio mismatch drops the sample
+    bad = dict(s, speech=np.ones(2000, np.float32))
+    assert list(pp.truncate_phoneme_sequence(prob=1.0)(iter([bad]))) == []
+
+    toks = list(pp.tokenize_phoneme(tok)(iter(out)))
+    assert toks[0]["pho_token"] == [0, 1, 2, 1]  # prosody marks fold away
+    assert toks[0]["text_prsd"] == [0, 0, 0, 2]
+
+    sample = dict(toks[0], speech_feat=np.zeros((10, 4), np.float32))
+    batch = next(iter(pp.padding()(iter([[sample, dict(sample)]]))))
+    assert batch["pho_token"].shape == (2, 8, 4)
+    assert list(batch["pho_token_len"]) == [4, 4]
+    np.testing.assert_array_equal(batch["pho_token"][0, :4, 0], [0, 1, 2, 1])
+    np.testing.assert_array_equal(batch["pho_token"][0, :4, 3], [0, 0, 0, 2])
