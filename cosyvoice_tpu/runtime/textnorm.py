@@ -88,6 +88,90 @@ def spell_out_number(text: str) -> str:
     return re.sub(r"\d+(?:\.\d+)?", lambda m: number_to_words(m.group()), text)
 
 
+# ---------------------------------------------------------------- zh numbers
+#
+# The reference normalizes Chinese text with WeTextProcessing / ttsfrd
+# (frontend.py:113-121) — neither ships in this image.  This is a
+# self-contained normalizer for the high-frequency cases (cardinals,
+# decimals, percents, years, phone-like digit strings).  DOCUMENTED GAPS vs
+# WeTextProcessing (plug a full TN model via CosyVoiceFrontEnd
+# text_normalizer= for production zh):
+#   * measure words/units (5km, 3kg), currency symbols (¥100)
+#   * full date/time grammar (12:30, 2024-05-01), fractions (3/4)
+#   * polyphone disambiguation and erhua/retroflex handling
+
+_ZH_DIG = "零一二三四五六七八九"
+_ZH_UNITS = ["", "十", "百", "千"]
+_ZH_GROUPS = ["", "万", "亿", "万亿"]
+
+
+def _zh_group4(n: int) -> str:
+    """0 < n < 10000 -> Chinese reading (no leading-zero handling)."""
+    out = []
+    zero_pending = False
+    for pos in range(3, -1, -1):
+        d = (n // 10 ** pos) % 10
+        if d == 0:
+            if out:
+                zero_pending = True
+            continue
+        if zero_pending:
+            out.append("零")
+            zero_pending = False
+        out.append(_ZH_DIG[d] + _ZH_UNITS[pos])
+    return "".join(out)
+
+
+def zh_cardinal(num_str: str) -> str:
+    """Unsigned integer string -> Chinese cardinal (一千二百三十四)."""
+    n = int(num_str)
+    if n == 0:
+        return "零"
+    groups = []
+    gi = 0
+    while n > 0:
+        n, g = divmod(n, 10000)
+        if g:
+            txt = _zh_group4(g) + _ZH_GROUPS[gi]
+            if g < 1000 and n > 0:
+                # leading zeros inside this 4-digit slot: 10086 -> 一万零八十六
+                txt = "零" + txt
+            groups.append(txt)
+        gi += 1
+    out = "".join(reversed(groups))
+    if out.startswith("一十"):          # 13 -> 十三, not 一十三
+        out = out[1:]
+    return out
+
+
+def zh_digits(num_str: str) -> str:
+    """Digit-by-digit reading (years, phone numbers): 2024 -> 二零二四."""
+    return "".join(_ZH_DIG[int(d)] for d in num_str if d.isdigit())
+
+
+def zh_spell_numbers(text: str) -> str:
+    """Normalize digits inside Chinese text (the WeTextProcessing subset
+    above; reference frontend.py:117 zh_tn_model.normalize)."""
+    # percents: 50% / 3.5% -> 百分之五十 / 百分之三点五
+    def pct(m):
+        return "百分之" + zh_spell_numbers(m.group(1))
+
+    text = re.sub(r"(\d+(?:\.\d+)?)%", pct, text)
+    # 4-digit years before 年 read digit-by-digit
+    text = re.sub(r"(\d{4})(?=年)", lambda m: zh_digits(m.group(1)), text)
+    # phone-like long digit strings read digit-by-digit
+    text = re.sub(r"\d{10,}", lambda m: zh_digits(m.group()), text)
+    # decimals: 3.14 -> 三点一四
+    text = re.sub(r"(\d+)\.(\d+)",
+                  lambda m: zh_cardinal(m.group(1)) + "点" + zh_digits(m.group(2)),
+                  text)
+    # remaining integers -> cardinals (负 for a leading minus sign)
+    text = re.sub(r"-?\d+",
+                  lambda m: ("负" if m.group().startswith("-") else "")
+                  + zh_cardinal(m.group().lstrip("-")), text)
+    return text
+
+
 def split_paragraph(text: str, tokenize: Callable[[str], list], lang: str = "zh",
                     token_max_n: int = 80, token_min_n: int = 60,
                     merge_len: int = 20, comma_split: bool = False) -> list[str]:
@@ -135,6 +219,7 @@ def basic_normalize(text: str, tokenize: Callable[[str], list],
     """Default normalize pipeline (frontend.py:108-133 minus external TN models)."""
     text = text.strip()
     if contains_chinese(text):
+        text = zh_spell_numbers(text)
         text = text.replace("\n", "")
         text = replace_blank(text)
         text = replace_corner_mark(text)

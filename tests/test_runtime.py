@@ -376,3 +376,31 @@ def test_v1_stream_interleaves_llm_and_matches_full_decode(tiny_v1_stack):
     for i, (g, w) in enumerate(zip(got, want)):
         np.testing.assert_allclose(g, w, atol=1e-6, rtol=1e-5,
                                    err_msg=f"chunk {i}")
+
+
+def test_zh_number_normalization():
+    """Self-contained zh number TN (the WeTextProcessing subset; remaining
+    gaps documented in runtime/textnorm.py)."""
+    from cosyvoice_tpu.runtime import textnorm as tn
+
+    assert tn.zh_cardinal("0") == "零"
+    assert tn.zh_cardinal("7") == "七"
+    assert tn.zh_cardinal("13") == "十三"
+    assert tn.zh_cardinal("42") == "四十二"
+    assert tn.zh_cardinal("100") == "一百"
+    assert tn.zh_cardinal("105") == "一百零五"
+    assert tn.zh_cardinal("1234") == "一千二百三十四"
+    assert tn.zh_cardinal("10000") == "一万"
+    assert tn.zh_cardinal("10086") == "一万零八十六"
+    assert tn.zh_cardinal("200300") == "二十万零三百"
+    assert tn.zh_cardinal("100000000") == "一亿"
+    assert tn.zh_cardinal("100010001") == "一亿零一万零一"
+
+    assert tn.zh_spell_numbers("共50%的人") == "共百分之五十的人"
+    assert tn.zh_spell_numbers("圆周率是3.14左右") == "圆周率是三点一四左右"
+    assert tn.zh_spell_numbers("2024年5月1日") == "二零二四年五月一日"
+    assert tn.zh_spell_numbers("电话13800138000吧") == "电话一三八零零一三八零零零吧"
+    assert tn.zh_spell_numbers("气温-3度") == "气温负三度"
+
+    segs = tn.basic_normalize("今天气温23度，湿度80%。", lambda t: list(t))
+    assert segs == ["今天气温二十三度，湿度百分之八十。"]
