@@ -256,6 +256,57 @@ def main():
             total += len(out["tts_speech"])
         return ttfb, total / 24000.0, time.time() - t0
 
+    # ---- N concurrent streaming sessions on the continuous engine
+    # (round-1 VERDICT #4: serving-side streaming throughput + TTFB under
+    # load).  8 sessions share the slot engine; chunk jobs flush as ragged
+    # batched flow calls.
+    engine_x = engine_ttfb_ms = 0.0
+    if only in ("", "engine"):
+        import dataclasses as _dc2
+
+        from cosyvoice_tpu.runtime.model import CosyVoice2Model as _CV2
+        from cosyvoice_tpu.runtime.serving import (ContinuousSynthesizer,
+                                                   TTSRequest)
+
+        etokens = 150
+        eratio = etokens / 25.0
+        lm_cfg_eng = _dc2.replace(lm_cfg, min_token_text_ratio=eratio,
+                                  max_token_text_ratio=eratio)
+        emodel = _CV2(llm=Qwen2LM(lm_cfg_eng), flow=flow, hift=hift,
+                      llm_params=llm_params, flow_params=flow_params,
+                      hift_params=hift_params, max_decode_tokens=etokens)
+        n_sessions = 8
+        reqs = [TTSRequest(text_tokens=np.asarray(text1[0]),
+                           prompt_text_len=0,
+                           prompt_speech_tokens=np.asarray(psp1[0]),
+                           prompt_feat=np.asarray(prompt_feat1[0]),
+                           embedding=np.asarray(emb1[0]))
+                for _ in range(n_sessions)]
+        synth = ContinuousSynthesizer(emodel, num_slots=n_sessions,
+                                      cache_len=((2 + 25 + 50 + etokens + 127)
+                                                 // 128) * 128,
+                                      max_out=etokens)
+
+        def engine_run(seed):
+            first = {}
+            t0 = time.time()
+
+            def on_chunk(idx, wav, final):
+                first.setdefault(idx, time.time() - t0)
+
+            got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(seed),
+                                         on_chunk=on_chunk)
+            dt = time.time() - t0
+            audio = sum(len(g) for g in got) / 24000.0
+            return audio / dt, float(np.mean(list(first.values()))) * 1000.0
+
+        log(f"engine {n_sessions}-stream: warmup/compile...")
+        engine_run(0)
+        xs, tt = zip(*(engine_run(i + 1) for i in range(2)))
+        engine_x, engine_ttfb_ms = max(xs), min(tt)
+        log(f"engine {n_sessions}-stream: {engine_x:.1f}x realtime aggregate, "
+            f"mean TTFB {engine_ttfb_ms:.0f} ms")
+
     ttfb_ms = stream_rt = 0.0
     if only in ("", "stream"):
         log("stream B=1: warmup/compile...")
@@ -281,7 +332,9 @@ def main():
         "single_stream_x": round(results[1], 2),
         "ragged_b32_x": round(ragged_rt, 2),
         "stream_ttfb_ms": round(ttfb_ms, 1),
-        "stream_rt_x": round(stream_rt, 2)}))
+        "stream_rt_x": round(stream_rt, 2),
+        "engine_8stream_x": round(engine_x, 2),
+        "engine_ttfb_ms": round(engine_ttfb_ms, 1)}))
 
 
 if __name__ == "__main__":

@@ -96,9 +96,33 @@ class CosyVoice2Model:
                                     rngs={"noise": rng},
                                     method=HiFTGenerator.inference)
 
+        # grouped vocode for the continuous engine: one call for a whole
+        # flush group, but each row keeps ITS OWN noise key (vmap of the
+        # B=1 apply) so outputs equal the per-session sequential path
+        @jax.jit
+        def _hift_infer_group(params, mel, cache_source, keys):
+            def one(m, cs, k):
+                return hift_model.apply(params, m[None], cs[None, :, None],
+                                        rngs={"noise": k},
+                                        method=HiFTGenerator.inference)
+
+            wav, src = jax.vmap(one)(mel, cache_source, keys)
+            return wav[:, 0], src[:, 0]
+
+        @jax.jit
+        def _hift_infer_group_nocache(params, mel, keys):
+            def one(m, k):
+                return hift_model.apply(params, m[None], rngs={"noise": k},
+                                        method=HiFTGenerator.inference)
+
+            wav, src = jax.vmap(one)(mel, keys)
+            return wav[:, 0], src[:, 0]
+
         self._flow_infer = _flow_infer
         self._hift_infer = _hift_infer
         self._hift_infer_nocache = _hift_infer_nocache
+        self._hift_infer_group = _hift_infer_group
+        self._hift_infer_group_nocache = _hift_infer_group_nocache
         self._noise_rng = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
@@ -214,6 +238,64 @@ class CosyVoice2Model:
         if cache is not None:
             wav = self._fade(wav, cache["speech"])
         return wav
+
+    def mel2wav_group(self, gens: list, sessions: list,
+                      finals: list) -> list:
+        """mel2wav for a whole flush group in (at most a few) batched HiFT
+        calls — the engine's per-session vocode round trips collapse into
+        one dispatch + one wav fetch per shape group, while each session
+        keeps its own noise stream (vmap over per-row keys) and fade caches,
+        so outputs EQUAL the sequential mel2wav path."""
+        from collections import defaultdict
+
+        results: list = [None] * len(gens)
+        prep = []
+        for i, (mel, session, fin) in enumerate(zip(gens, sessions, finals)):
+            cache = session.get("hift")
+            if cache is not None:
+                mel = jnp.concatenate([jnp.asarray(cache["mel"]),
+                                       jnp.asarray(mel)], axis=0)
+            key = _session_rng(self._noise_rng, session)
+            if fin:
+                pad_to = round_up(mel.shape[0], 32)
+            else:
+                pad_to = self.mel_cache_len + (self.token_hop_len
+                                               + self.pre_lookahead_len) * self.ratio
+            prep.append((i, mel, cache, key, fin, pad_to))
+
+        groups = defaultdict(list)
+        for item in prep:
+            i, mel, cache, key, fin, pad_to = item
+            groups[(pad_to, cache is not None)].append(item)
+
+        for (pad_to, has_cache), items in groups.items():
+            mels = jnp.stack([jnp.pad(jnp.asarray(m, jnp.float32),
+                                      ((0, pad_to - m.shape[0]), (0, 0)))
+                              for _, m, *_ in items])
+            keys = jnp.stack([k for *_, k, _, _ in items])
+            if has_cache:
+                cs = jnp.stack([jnp.asarray(c["source"])
+                                for _, _, c, *_ in items])
+                wavs, srcs = self._hift_infer_group(self.hift_params, mels,
+                                                    cs, keys)
+            else:
+                wavs, srcs = self._hift_infer_group_nocache(self.hift_params,
+                                                            mels, keys)
+            wavs_h = np.asarray(wavs)          # ONE device->host fetch
+            for row, (i, mel, cache, key, fin, _) in enumerate(items):
+                n = mel.shape[0]
+                wav = wavs_h[row, : n * self.hop_samples]
+                if cache is not None:
+                    wav = self._fade(wav, cache["speech"])
+                if not fin:
+                    src = srcs[row, : n * self.hop_samples, 0]
+                    sessions[i]["hift"] = {
+                        "mel": mel[-self.mel_cache_len:],
+                        "source": src[-self.source_cache_len:],
+                        "speech": wav[-self.source_cache_len:]}
+                    wav = wav[: -self.source_cache_len]
+                results[i] = wav
+        return results
 
     def _fade(self, wav: np.ndarray, prev_tail: np.ndarray) -> np.ndarray:
         """Hamming cross-fade over the held-back region (utils/common.py:150-158)."""

@@ -245,16 +245,23 @@ class ContinuousSynthesizer:
             tokm[i, :tls[i]] = toks[i]
             pfl[i] = st.req.prompt_feat.shape[0]
             pf[i, :pfl[i]] = st.req.prompt_feat
-        mel = np.asarray(self._flow_ragged(
+        mel = self._flow_ragged(
             m.flow_params, jnp.asarray(tokm), jnp.asarray(tls, dtype=jnp.int32),
             jnp.asarray(pf), jnp.asarray(emb), jnp.asarray(pfl),
-            streaming=streaming))
+            streaming=streaming)
+        gens, sessions, finals = [], [], []
         for i, (st, tok, off, fin) in enumerate(jobs):
             plen = len(st.req.prompt_speech_tokens)
             start = int(pfl[i])
             valid = ratio * (tls[i] - plen)
-            gen = mel[i, start + off * ratio: start + valid]
-            emit(st, m.mel2wav(gen, st.session, finalize=fin), fin)
+            gens.append(mel[i, start + off * ratio: start + valid])
+            sessions.append(st.session)
+            finals.append(fin)
+        # grouped vocode: one dispatch + one wav fetch per shape group
+        # instead of a device round trip per session (mel stays on device)
+        wavs = m.mel2wav_group(gens, sessions, finals)
+        for (st, tok, off, fin), wav in zip(jobs, wavs):
+            emit(st, wav, fin)
 
     def serve(self, submissions, rng=None) -> None:
         """Online streaming TTS: pull (TTSRequest, on_chunk(wav, final))
