@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 N_TOKENS = 500            # 20 s of audio per utterance at 25 Hz
-BATCHES = (8, 16, 32)     # LM decode is weight-bound, so it amortizes with B
+BATCHES = (8, 32, 64)     # LM decode is weight-bound, so it amortizes with B
+                          # (B=128 exhausts v5e HBM)
 
 
 def log(*a):
