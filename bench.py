@@ -331,7 +331,7 @@ def main():
         "value": round(value, 2), "unit": "audio_s/s",
         "vs_baseline": round(value / 50.0, 3),
         "single_stream_x": round(results[1], 2),
-        "ragged_b32_x": round(ragged_rt, 2),
+        "ragged_bmax_x": round(ragged_rt, 2),
         "stream_ttfb_ms": round(ttfb_ms, 1),
         "stream_rt_x": round(stream_rt, 2),
         "engine_8stream_x": round(engine_x, 2),

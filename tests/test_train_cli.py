@@ -207,3 +207,52 @@ def test_pho_token_padding_and_truncate(tmp_path):
     assert list(batch["pho_token_len"]) == [4, 4]
     np.testing.assert_array_equal(batch["pho_token"][0, :4, 0], [0, 1, 2, 1])
     np.testing.assert_array_equal(batch["pho_token"][0, :4, 3], [0, 0, 0, 2])
+
+
+def test_train_cli_qwen2lm_and_flow(tmp_path, monkeypatch):
+    """v2 LLM + flow branches of bin/train.py run steps end-to-end from the
+    jsonl corpus (the GAN/phoneme/parquet branches are covered above)."""
+    import yaml
+
+    lst = _write_data(tmp_path, n=3)
+    base_data = {"filter": {"max_length": 99999, "token_max_length": 300},
+                 "fbank": {"n_fft": 192, "hop": 48, "n_mels": 20},
+                 "max_frames_in_batch": 600, "shuffle_buf": 4, "sort_buf": 2}
+    conf = {
+        "llm": {"kind": "qwen2lm", "llm_input_size": 32, "llm_output_size": 32,
+                "speech_token_size": 128,
+                "qwen": {"vocab_size": 300, "hidden_size": 32, "num_layers": 1,
+                         "num_heads": 4, "num_kv_heads": 2, "head_dim": 8,
+                         "intermediate_size": 64}},
+        "flow": {"kind": "flow", "input_size": 32, "output_size": 20,
+                 "spk_embed_dim": 512, "vocab_size": 128,
+                 "encoder": {"dim": 32, "heads": 2, "linear_units": 48,
+                             "num_blocks": 1, "input_size": 32,
+                             "dropout_rate": 0.0,
+                             "attention_dropout_rate": 0.0},
+                 "estimator": {"in_channels": 80, "out_channels": 20,
+                               "causal": True, "channels": [16],
+                               "n_blocks": 1, "num_mid_blocks": 1,
+                               "num_heads": 2, "attention_head_dim": 8},
+                 "cfm": {"noise_frames": 2000}},
+        "data": base_data,
+        "train_conf": {"lr": 1e-4, "log_interval": 1,
+                       "scheduler_conf": {"warmup_steps": 10}},
+    }
+    cfg_path = tmp_path / "conf.yaml"
+    cfg_path.write_text(yaml.safe_dump(conf))
+
+    from cosyvoice_tpu.bin import train as train_cli
+
+    for model in ("llm", "flow"):
+        model_dir = str(tmp_path / f"exp_{model}")
+        monkeypatch.setattr(sys, "argv", [
+            "train", "--config", str(cfg_path), "--model", model,
+            "--train_data", lst, "--model_dir", model_dir,
+            "--epochs", "1", "--mesh_data", "1"])
+        train_cli.main()
+        metrics = [json.loads(l) for l in open(os.path.join(model_dir,
+                                                            "metrics.jsonl"))]
+        assert metrics and np.isfinite(metrics[-1]["loss"]), model
+        from cosyvoice_tpu.train.checkpoint import latest_step
+        assert latest_step(model_dir) is not None, model
