@@ -96,11 +96,38 @@ def engine_admit(model: Qwen2LM, params, state: EngineState, slot,
     rows past the true prefix length hold garbage but sit beyond the slot's
     frontier (pos = seq_len), and decode overwrites them one by one.
     """
-    cfg = model.cfg
     cls = type(model)
     embeds, seq_len = model.apply(params, text[None], text_len[None],
                                   prompt_speech[None], prompt_speech_len[None],
                                   method=cls.prefill_embeds)
+    return _engine_install(model, params, state, slot, embeds, seq_len,
+                           min_len, max_len)
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnames=("state",))
+def engine_admit_pho(model, params, state: EngineState, slot,
+                     text, text_len, pho_token, pho_len,
+                     prompt_speech, prompt_speech_len, embedding,
+                     min_len, max_len) -> EngineState:
+    """Admit for the phoneme LM variants (Qwen2LMPhoneme/_Src/_Src2 — the
+    reference's production serving model behind sglang/vllm,
+    llm/llm.py:2094-2716): prefix built by `prefix_for_decode` (text+phoneme
+    fusion + speaker embedding); decode machinery is shared."""
+    cls = type(model)
+    embeds, seq_len = model.apply(
+        params, text[None], text_len[None], pho_token[None], pho_len[None],
+        prompt_speech[None], prompt_speech_len[None], embedding[None],
+        method=cls.prefix_for_decode)
+    return _engine_install(model, params, state, slot, embeds, seq_len,
+                           min_len, max_len)
+
+
+def _engine_install(model, params, state: EngineState, slot, embeds, seq_len,
+                    min_len, max_len) -> EngineState:
+    """Shared admit tail: run the prefix through the body into a small
+    cache, splice it into the slot, sample the first token."""
+    cfg = model.cfg
+    cls = type(model)
     Tp = embeds.shape[1]
     pcache = KVCache.create(cfg.qwen, 1, Tp, dtype=embeds.dtype)
     bias = causal_prefill_bias(Tp, Tp, seq_len, 1, embeds.dtype)
@@ -209,6 +236,9 @@ class GenRequest:
     min_len: Optional[int] = None    # default 2x / 20x new-text len
     max_len: Optional[int] = None
     new_text_len: Optional[int] = None  # len basis for min/max (default: all)
+    # phoneme LM requests (Qwen2LMPhoneme*): 4-way factored ids + spk vector
+    pho_token: Optional[np.ndarray] = None   # [Tp, 4]
+    embedding: Optional[np.ndarray] = None   # [spk_embed_dim]
 
 
 @dataclass
@@ -263,14 +293,32 @@ class ServingEngine:
             mx = min(mx, self.max_out)
             Tt = round_up(max(len(tt), 1), self.text_bucket)
             Ts = round_up(max(len(ps), 1), self.speech_bucket)
-            assert 2 + Tt + Ts + mx <= self.cache_len, \
-                f"request needs {2 + Tt + Ts + mx} cache rows > {self.cache_len}"
+            # conservative prefix bound; phoneme prefixes add the (bucketed)
+            # phoneme stream and a speaker slot
+            Tp = (round_up(max(len(r.pho_token), 1), self.text_bucket)
+                  if r.pho_token is not None else 0)
+            need = 3 + Tt + Tp + Ts + mx
+            assert need <= self.cache_len, \
+                f"request needs {need} cache rows > {self.cache_len}"
             text = np.zeros(Tt, np.int32)
             text[:len(tt)] = tt
             psp = np.zeros(Ts, np.int32)
             psp[:len(ps)] = ps
             slot_cb[slot] = cb
             seen[slot] = 0
+            if r.pho_token is not None:
+                pho = np.asarray(r.pho_token, np.int32)
+                Tp = round_up(max(len(pho), 1), self.text_bucket)
+                pho_pad = np.zeros((Tp, pho.shape[1]), np.int32)
+                pho_pad[:len(pho)] = pho
+                return engine_admit_pho(
+                    self.model, self.params, state,
+                    jnp.asarray(slot, jnp.int32), jnp.asarray(text),
+                    jnp.asarray(len(tt), jnp.int32), jnp.asarray(pho_pad),
+                    jnp.asarray(len(pho), jnp.int32), jnp.asarray(psp),
+                    jnp.asarray(len(ps), jnp.int32),
+                    jnp.asarray(np.asarray(r.embedding, np.float32)),
+                    jnp.asarray(mn, jnp.int32), jnp.asarray(mx, jnp.int32))
             return engine_admit(self.model, self.params, state,
                                 jnp.asarray(slot, jnp.int32), jnp.asarray(text),
                                 jnp.asarray(len(tt), jnp.int32), jnp.asarray(psp),

@@ -209,3 +209,49 @@ def test_engine_online_serve_staggered_threads():
         want = reference_tokens(model, params, r, max_steps=128, cache_len=256)
         np.testing.assert_array_equal(np.asarray(got[i], np.int32), want,
                                       err_msg=f"request {i}")
+
+
+def test_engine_phoneme_lm_greedy_parity():
+    """The PRODUCTION phoneme LM (Qwen2LM_Phoneme_Src2 — what the reference
+    serves behind sglang/vllm) through the continuous-batching engine:
+    staggered admits must reproduce phoneme_lm_generate per request."""
+    from cosyvoice_tpu.models.llm_phoneme import (Qwen2LMPhonemeSrc2,
+                                                  phoneme_lm_generate)
+    from tests.test_llm_phoneme import CFG, PHO, _pho_tokens
+
+    model = Qwen2LMPhonemeSrc2(CFG)
+    rng = np.random.default_rng(2)
+    t0 = jnp.asarray(rng.integers(0, CFG.qwen.vocab_size, (1, 5)))
+    p0 = jnp.asarray(_pho_tokens(rng, 6)[None])
+    params = model.init(jax.random.PRNGKey(0), t0, jnp.asarray([5]),
+                        p0, jnp.asarray([6]),
+                        jnp.asarray(rng.integers(0, CFG.speech_token_size, (1, 4))),
+                        jnp.asarray([4]),
+                        jnp.asarray(rng.standard_normal((1, CFG.spk_embed_dim)),
+                                    jnp.float32))
+
+    reqs = []
+    for n_text, n_pho, n_ps in ((6, 7, 4), (4, 5, 2), (8, 9, 3)):
+        reqs.append(GenRequest(
+            text=rng.integers(0, CFG.qwen.vocab_size, n_text).astype(np.int32),
+            prompt_speech=rng.integers(0, CFG.speech_token_size, n_ps).astype(np.int32),
+            pho_token=_pho_tokens(rng, n_pho).astype(np.int32),
+            embedding=rng.standard_normal(CFG.spk_embed_dim).astype(np.float32),
+            min_len=0, max_len=24, new_text_len=n_pho))
+
+    engine = ServingEngine(model, params, num_slots=2, cache_len=128,
+                           max_out=24, segment_steps=6, text_bucket=8,
+                           speech_bucket=8)
+    got = engine.generate(reqs, rng=jax.random.PRNGKey(0))
+
+    for i, r in enumerate(reqs):
+        out, cnt = phoneme_lm_generate(
+            model, params, jnp.asarray(r.text[None]),
+            jnp.asarray([len(r.text)]), jnp.asarray(r.pho_token[None]),
+            jnp.asarray([len(r.pho_token)]), jnp.asarray(r.prompt_speech[None]),
+            jnp.asarray([len(r.prompt_speech)]),
+            jnp.asarray(r.embedding[None]),
+            jnp.asarray([0]), jnp.asarray([24]), jax.random.PRNGKey(0),
+            max_steps=24, cache_len=128)
+        want = np.asarray(out[0, :int(cnt[0])])
+        np.testing.assert_array_equal(got[i], want, err_msg=f"request {i}")
