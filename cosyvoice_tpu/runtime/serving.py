@@ -52,6 +52,9 @@ class TTSRequest:
     prompt_speech_tokens: np.ndarray
     prompt_feat: np.ndarray            # [P, 80]
     embedding: np.ndarray              # [spk_dim]
+    # phoneme-LM serving (Qwen2LMPhoneme*): 4-way factored phoneme ids; the
+    # speaker vector above doubles as the LM's spk embedding
+    pho_token: Optional[np.ndarray] = None     # [Tp, 4]
 
 
 @dataclass
@@ -346,7 +349,12 @@ class ContinuousSynthesizer:
                 gr = GenRequest(
                     text=np.asarray(req.text_tokens, np.int32),
                     prompt_speech=np.asarray(req.prompt_speech_tokens, np.int32),
-                    new_text_len=len(req.text_tokens) - req.prompt_text_len)
+                    new_text_len=(len(req.pho_token) if req.pho_token is not None
+                                  else len(req.text_tokens) - req.prompt_text_len),
+                    pho_token=(np.asarray(req.pho_token, np.int32)
+                               if req.pho_token is not None else None),
+                    embedding=(np.asarray(req.embedding, np.float32)
+                               if req.pho_token is not None else None))
                 return (gr, make_on_tokens(st))
 
         engine.serve(_Adapter(), rng=rng, on_segment=on_segment)

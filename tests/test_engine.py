@@ -255,3 +255,104 @@ def test_engine_phoneme_lm_greedy_parity():
             max_steps=24, cache_len=128)
         want = np.asarray(out[0, :int(cnt[0])])
         np.testing.assert_array_equal(got[i], want, err_msg=f"request {i}")
+
+
+def test_continuous_synthesizer_phoneme_stream():
+    """Full streaming TTS for the production phoneme model through the
+    continuous engine: pho_token requests -> engine decode -> ragged flow
+    chunks -> grouped vocode; matches the per-request token stream and
+    yields finite chunked audio."""
+    from cosyvoice_tpu.models.conformer import ConformerConfig
+    from cosyvoice_tpu.models.flow import (CFMConfig, CausalMaskedDiffWithXvec,
+                                           EstimatorConfig, FlowConfig)
+    from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+    from cosyvoice_tpu.models.llm_phoneme import (Qwen2LMPhonemeSrc2,
+                                                  phoneme_lm_generate)
+    from cosyvoice_tpu.runtime.model import CosyVoice2Model
+    from cosyvoice_tpu.runtime.serving import ContinuousSynthesizer, TTSRequest
+    from tests.test_llm_phoneme import CFG, _pho_tokens
+
+    n_mel = 16
+    sv = CFG.speech_token_size
+    llm = Qwen2LMPhonemeSrc2(CFG)
+    rng = np.random.default_rng(4)
+    t0 = jnp.asarray(rng.integers(0, CFG.qwen.vocab_size, (1, 5)))
+    p0 = jnp.asarray(_pho_tokens(rng, 6)[None])
+    llm_params = llm.init(jax.random.PRNGKey(0), t0, jnp.asarray([5]),
+                          p0, jnp.asarray([6]),
+                          jnp.asarray(rng.integers(0, sv, (1, 4))),
+                          jnp.asarray([4]),
+                          jnp.asarray(rng.standard_normal((1, CFG.spk_embed_dim)),
+                                      jnp.float32))
+    # bias away from eos/fill so greedy decode emits up to max_len
+    bias = np.asarray(llm_params["params"]["llm_decoder"]["bias"]).copy()
+    bias[sv:] = -30.0
+    llm_params["params"]["llm_decoder"]["bias"] = jnp.asarray(bias)
+
+    enc = ConformerConfig(dim=32, heads=2, linear_units=48, num_blocks=1,
+                          dropout_rate=0.0, attention_dropout_rate=0.0,
+                          input_size=32, static_chunk_size=50)
+    est = EstimatorConfig(in_channels=4 * n_mel, out_channels=n_mel,
+                          causal=True, channels=(16,), n_blocks=1,
+                          num_mid_blocks=1, num_heads=2, attention_head_dim=8)
+    flow_cfg = FlowConfig(input_size=32, output_size=n_mel,
+                          spk_embed_dim=CFG.spk_embed_dim, vocab_size=sv + 3,
+                          encoder=enc, estimator=est,
+                          cfm=CFMConfig(noise_frames=2000))
+    hift_cfg = HiFTConfig(in_channels=n_mel, base_channels=32, nb_harmonics=1,
+                          upsample_rates=(4, 3), upsample_kernel_sizes=(8, 7),
+                          resblock_kernel_sizes=(3,),
+                          resblock_dilation_sizes=((1, 3),),
+                          source_resblock_kernel_sizes=(5, 7),
+                          source_resblock_dilation_sizes=((1, 3), (1, 3)),
+                          f0_cond_channels=8, sampling_rate=2304)
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    hift = HiFTGenerator(hift_cfg)
+    k = jax.random.PRNGKey(1)
+    flow_params = flow.init(k, jnp.zeros((1, 8), jnp.int32), jnp.asarray([8]),
+                            jnp.zeros((1, 4, n_mel)),
+                            jnp.zeros((1, CFG.spk_embed_dim)),
+                            method=CausalMaskedDiffWithXvec.inference)
+    hift_params = hift.init({"params": k, "noise": k},
+                            jnp.zeros((1, 10, n_mel)))
+    m = CosyVoice2Model(llm=llm, flow=flow, hift=hift, llm_params=llm_params,
+                        flow_params=flow_params, hift_params=hift_params,
+                        max_decode_tokens=96)
+
+    reqs = []
+    for n_pho in (30, 27):  # max 20x pho > 53 -> at least one stream chunk
+        reqs.append(TTSRequest(
+            text_tokens=rng.integers(0, CFG.qwen.vocab_size, 8).astype(np.int32),
+            prompt_text_len=0,
+            prompt_speech_tokens=rng.integers(0, sv, 4).astype(np.int32),
+            prompt_feat=rng.standard_normal((8, n_mel)).astype(np.float32),
+            embedding=rng.standard_normal(CFG.spk_embed_dim).astype(np.float32),
+            pho_token=_pho_tokens(rng, n_pho).astype(np.int32)))
+
+    seen = []
+    synth = ContinuousSynthesizer(m, num_slots=2, cache_len=256, max_out=96,
+                                  text_bucket=16, speech_bucket=8)
+    got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(2),
+                                 on_chunk=lambda i, w, f: seen.append((i, f)))
+    assert {i for i, f in seen if f} == {0, 1}
+    assert any(not f for _, f in seen), "expected streamed chunks"
+    for i, r in enumerate(reqs):
+        assert got[i].size > 0 and np.isfinite(got[i]).all()
+        # token stream parity: engine == isolated phoneme_lm_generate
+        out, cnt = phoneme_lm_generate(
+            m.llm, m.llm_params, jnp.asarray(r.text_tokens[None]),
+            jnp.asarray([len(r.text_tokens)]), jnp.asarray(r.pho_token[None]),
+            jnp.asarray([len(r.pho_token)]),
+            jnp.asarray(r.prompt_speech_tokens[None]),
+            jnp.asarray([len(r.prompt_speech_tokens)]),
+            jnp.asarray(r.embedding[None]),
+            jnp.asarray([int(2 * len(r.pho_token))]),
+            jnp.asarray([min(int(20 * len(r.pho_token)), 96)]),
+            jax.random.PRNGKey(0), max_steps=96, cache_len=256)
+        n_tok = int(cnt[0])
+        # chunked synthesis re-emits the la=3-token lookahead region of each
+        # non-final chunk (cross-faded), so audio = (n_tok + 3*(chunks-1))
+        # tokens x 2 mel frames x 48 samples
+        n_chunks = sum(1 for j, _ in seen if j == i)
+        assert got[i].shape[0] == (n_tok + 3 * (n_chunks - 1)) * 2 * 48, \
+            (got[i].shape[0], n_tok, n_chunks)
