@@ -36,3 +36,26 @@ def test_s3_tokenizer_pipeline(rng):
     toks = s3_tokenize(model, variables, wav)
     assert toks.shape[0] == 25  # 1 s -> 25 tokens (25 Hz)
     assert (toks >= 0).all() and (toks < 6561).all()
+
+
+def test_s3_frontend_fn_bucket_padding_exact(rng):
+    """make_s3_frontend_fn pads the wav to 2 s buckets; the claim in its
+    docstring is that padding is EXACT (zeroed pad mel == the conv's own
+    zero edge-padding + masked attention).  Compare against the exact-length
+    apply for several lengths."""
+    from cosyvoice_tpu.models.s3tokenizer import (S3Config, S3TokenizerV2,
+                                                  make_s3_frontend_fn,
+                                                  s3_tokenize, whisper_log_mel)
+
+    cfg = S3Config(dim=32, heads=2, layers=2, fsq_dim=4)
+    model = S3TokenizerV2(cfg)
+    wav0 = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    mel0 = whisper_log_mel(jnp.asarray(wav0))
+    variables = model.init(jax.random.PRNGKey(3), mel0[None],
+                           jnp.asarray([mel0.shape[0]]))
+    fn = make_s3_frontend_fn(model, variables, bucket_s=2.0)
+    for n in (16000, 20000, 31999, 64000):
+        wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        exact = s3_tokenize(model, variables, wav)
+        bucketed = fn(wav)
+        np.testing.assert_array_equal(bucketed, exact, err_msg=f"n={n}")
