@@ -2,6 +2,11 @@
 
 Scans the kernel N times inside one jit with a data dependence, forces a
 device->host read for sync.  Usage: python tools/probe_dit_kernel.py [N]
+
+Tq sweep at [64, 1152, 8x64] (amortized, 20 chained calls/jit):
+  Tq=128: 4.93 ms   Tq=384: 4.34 ms   Tq=576: 4.28 ms   Tq=1152: 4.20 ms
+-> whole-row query chunks win (fewer grid cells + K/V re-reads); _q_chunk
+   picks the largest divisor whose fp32 score tile fits a 16 MB budget.
 """
 import sys
 import time
