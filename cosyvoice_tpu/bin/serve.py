@@ -282,15 +282,20 @@ def main():
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--fp16", action="store_true")
-    ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
     ap.add_argument("--continuous", action="store_true",
                     help="continuous-batching backend (requests share the "
                          "slot engine instead of queueing one-by-one)")
     ap.add_argument("--num_slots", type=int, default=8)
+    ap.add_argument("--max-decode-tokens", type=int, default=1600,
+                    help="hard per-segment speech-token ceiling (~tokens/25 "
+                         "s of audio); decodes hitting it log a truncation "
+                         "warning")
     args = ap.parse_args()
     from cosyvoice_tpu.runtime.api import from_pretrained
 
-    cv = from_pretrained(args.model_dir, fp16=args.fp16, quant=args.quant)
+    cv = from_pretrained(args.model_dir, fp16=args.fp16, quant=args.quant,
+                         max_decode_tokens=args.max_decode_tokens)
     httpd = serve(cv, args.host, args.port, continuous=args.continuous,
                   num_slots=args.num_slots)
     print(f"serving on {args.host}:{args.port}", flush=True)

@@ -88,6 +88,9 @@ def snappy_decompress(buf: bytes) -> bytes:
             pos += 4
         if off == 0:
             raise ValueError("snappy: zero copy offset")
+        if off > len(out):
+            raise ValueError(
+                f"snappy: copy offset {off} exceeds {len(out)} decoded bytes")
         start = len(out) - off
         for i in range(ln):               # may self-overlap — byte-by-byte
             out.append(out[start + i])

@@ -148,12 +148,21 @@ def decode_audio_bytes():
     def stage(it):
         for s in it:
             if "audio_data" in s and "speech" not in s:
-                with wave.open(io.BytesIO(s["audio_data"])) as w:
-                    sr = w.getframerate()
-                    data = np.frombuffer(w.readframes(w.getnframes()),
-                                         dtype=np.int16)
-                    if w.getnchannels() > 1:
-                        data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+                # non-PCM-WAV bytes (flac/opus/mp3 — the reference decodes
+                # via torchaudio) drop the SAMPLE, not the epoch, mirroring
+                # parquet_opener's per-shard error guard
+                try:
+                    with wave.open(io.BytesIO(s["audio_data"])) as w:
+                        sr = w.getframerate()
+                        data = np.frombuffer(w.readframes(w.getnframes()),
+                                             dtype=np.int16)
+                        if w.getnchannels() > 1:
+                            data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+                except (wave.Error, EOFError, ValueError) as e:
+                    import logging
+                    logging.warning("decode_audio_bytes: dropping %s (%s)",
+                                    s.get("utt", "<sample>"), e)
+                    continue
                 s = dict(s, speech=data.astype(np.float32) / 32768.0,
                          sample_rate=sr)
                 s.pop("audio_data")

@@ -42,11 +42,13 @@ class Qwen2Config:
     tie_word_embeddings: bool = True
     dtype: jnp.dtype = jnp.float32
     # weight-only quantization of the 7 per-layer projection matrices
-    # ("none" | "int8").  int8 halves decode HBM traffic (decode is
-    # weight-bandwidth-bound); per-output-channel scales, activations stay
-    # bf16/f32.  Params carry {kernel:int8, scale:f32} — produce them with
-    # utils.quant.quantize_qwen_int8 from an fp checkpoint.
+    # ("none" | "int8" | "int4").  Decode is weight-bandwidth-bound: int8
+    # halves its HBM traffic, packed int4 (two rows per byte, Pallas dequant
+    # matmul — ops/pallas/int4_matmul.py) halves it again.  Per-output-
+    # channel f32 scales; activations stay bf16/f32.  Produce params with
+    # utils.quant.quantize_qwen_int8 / quantize_qwen_int4.
     quant: str = "none"
+    quant_group: int = 128  # int4 scale group size (input-dim sub-channels)
     # decode attention + cache append through the fused Pallas kernel over a
     # packed [B, T, KH*D] cache (ops/pallas/lm_decode_attention.py).  The XLA
     # dynamic_update_slice + einsum form copies the whole cache every decode
@@ -100,6 +102,7 @@ class QDense(nn.Module):
     features: int
     use_bias: bool = True
     quant: str = "none"
+    quant_group: int = 128  # int4 scale group size along the input dim
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -110,6 +113,29 @@ class QDense(nn.Module):
             s = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
             y = jnp.dot(x, k.astype(x.dtype)) * s.astype(x.dtype)
+        elif self.quant == "int4":
+            # packed two-rows-per-byte kernel + Pallas dequant matmul: decode
+            # HBM weight traffic is the int4 bytes (half of int8's).  Scales
+            # are group-wise along the input dim (quant_group).  Large-row
+            # calls (prefill: B*T rows) are MXU-compute-bound and take the
+            # XLA unpack twin instead — the packed x-block would not fit
+            # VMEM and the bandwidth saving is irrelevant there.
+            from cosyvoice_tpu.ops.pallas.int4_matmul import (int4_matmul,
+                                                              int4_matmul_xla)
+
+            g = min(self.quant_group, in_f)
+            k = self.param("kernel", nn.initializers.zeros_init(),
+                           (in_f // 2, self.features), jnp.int8)
+            s = self.param("scale", nn.initializers.ones,
+                           (in_f // g, self.features), jnp.float32)
+            lead = x.shape[:-1]
+            rows = int(np.prod(lead)) if lead else 1
+            x2 = x.reshape(rows, in_f)
+            if rows <= 512:
+                y = int4_matmul(x2, k, s)
+            else:
+                y = int4_matmul_xla(x2, k, s)
+            y = y.reshape(*lead, self.features)
         else:
             k = self.param("kernel", nn.initializers.lecun_normal(),
                            (in_f, self.features))
@@ -158,9 +184,9 @@ class Qwen2Layer(nn.Module):
         B, T, _ = x.shape
         h = rms_norm(x, self.param("input_layernorm", nn.initializers.ones,
                                    (cfg.hidden_size,)), cfg.rms_norm_eps)
-        q = QDense(H * HD, quant=cfg.quant, name="q_proj")(h).reshape(B, T, H, HD)
-        k = QDense(KH * HD, quant=cfg.quant, name="k_proj")(h).reshape(B, T, KH, HD)
-        v = QDense(KH * HD, quant=cfg.quant, name="v_proj")(h).reshape(B, T, KH, HD)
+        q = QDense(H * HD, quant=cfg.quant, quant_group=cfg.quant_group, name="q_proj")(h).reshape(B, T, H, HD)
+        k = QDense(KH * HD, quant=cfg.quant, quant_group=cfg.quant_group, name="k_proj")(h).reshape(B, T, KH, HD)
+        v = QDense(KH * HD, quant=cfg.quant, quant_group=cfg.quant_group, name="v_proj")(h).reshape(B, T, KH, HD)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -226,13 +252,13 @@ class Qwen2Layer(nn.Module):
             scores = scores + bias[:, :, None, :, :]
             attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             o = jnp.einsum("bkgij,bkjd->bikgd", attn, v_all).reshape(B, T, H * HD)
-        x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, name="o_proj")(o)
+        x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="o_proj")(o)
 
         h = rms_norm(x, self.param("post_attention_layernorm", nn.initializers.ones,
                                    (cfg.hidden_size,)), cfg.rms_norm_eps)
-        gate = QDense(cfg.intermediate_size, use_bias=False, quant=cfg.quant, name="gate_proj")(h)
-        up = QDense(cfg.intermediate_size, use_bias=False, quant=cfg.quant, name="up_proj")(h)
-        x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, name="down_proj")(
+        gate = QDense(cfg.intermediate_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="gate_proj")(h)
+        up = QDense(cfg.intermediate_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="up_proj")(h)
+        x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="down_proj")(
             jax.nn.silu(gate) * up)
         return x, new_cache
 

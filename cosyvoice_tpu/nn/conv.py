@@ -110,9 +110,16 @@ class Conv1d(nn.Module):
                            _l2n(norm01(key, shape)), (self.features,))
             v_sn = self.param("sn_v", lambda key, shape:
                               _l2n(norm01(key, shape)), (w_mat.shape[1],))
+            # u/v act as torch's non-trainable power-iteration buffers: stop
+            # gradients through them so sigma's gradient flows only via W and
+            # a from-scratch discriminator can't learn to shrink sigma through
+            # its u/v "parameters" (they stay flax params for checkpoint
+            # import parity, but receive zero grads)
+            u = jax.lax.stop_gradient(u)
+            v_sn = jax.lax.stop_gradient(v_sn)
             if self.sn_iters:
                 wm = jax.lax.stop_gradient(w_mat)
-                uu = jax.lax.stop_gradient(u)
+                uu = u
                 for _ in range(self.sn_iters):
                     v_sn = _l2n(wm.T @ uu)
                     uu = _l2n(wm @ v_sn)

@@ -121,7 +121,7 @@ class CosyVoice2:
 
 
 def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
-                    max_decode_tokens: int = 800,
+                    max_decode_tokens: int = 1600,
                     fp16: bool = False, quant: str = "none",
                     lm_cfg=None, flow_cfg=None, hift_cfg=None,
                     campplus_cfg=None, s3_cfg=None,
@@ -140,7 +140,10 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
     (cli/cosyvoice.py:30, cli/model.py:43-45): on TPU that means bf16 LM
     params + bf16 flow estimator with the fused-attention fast path.
     quant="int8" additionally stores the LM projection weights int8
-    (weight-only, per-channel — utils/quant.py) to halve decode HBM traffic.
+    (weight-only, per-channel — utils/quant.py) to halve decode HBM traffic;
+    quant="int4" packs two weight rows per byte and decodes through the
+    Pallas dequant matmul (ops/pallas/int4_matmul.py), halving it again.
+    Both are greedy-agreement-gated vs the fp path (tests/test_llm.py).
 
     The *_cfg keywords override the full-size default model configs (used by
     tests and downsized deployments).
@@ -179,9 +182,9 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         # stays OFF here — its fixed per-call cost only amortizes at B >= ~8
         # (measured: 654 vs 545 us/step at B=1); the batched serving paths
         # (bench.py, BatchedSynthesizer/ServingEngine callers) enable it.
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         lm_cfg = dataclasses.replace(
-            lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8"))
+            lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant=quant))
     llm = Qwen2LM(lm_cfg)
     flow = CausalMaskedDiffWithXvec(flow_cfg)
     hift = HiFTGenerator(hift_cfg)
@@ -200,9 +203,11 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
             flow_params["params"]["decoder"]["estimator"])
         flow_params["params"]["encoder"] = to_bf16(
             flow_params["params"]["encoder"])
-    if quant == "int8":  # after the bf16 cast so scales stay f32
-        from cosyvoice_tpu.utils.quant import quantize_qwen_int8
-        llm_params = quantize_qwen_int8(llm_params)
+    if quant in ("int8", "int4"):  # after the bf16 cast so scales stay f32
+        from cosyvoice_tpu.utils.quant import (quantize_qwen_int4,
+                                               quantize_qwen_int8)
+        llm_params = (quantize_qwen_int8 if quant == "int8"
+                      else quantize_qwen_int4)(llm_params)
     hift_params = import_hift_torch(hift_sd, hift_cfg)
     if fp16:
         hift_params = to_bf16(hift_params)

@@ -58,7 +58,17 @@ class CosyVoice2Model:
     flow_params: dict
     hift_params: dict
     sample_rate: int = 24000
-    max_decode_tokens: int = 800  # static cap on generated speech tokens
+    # HARD cap on generated speech tokens per segment (the decode buffer /
+    # KV-cache size ceiling).  The reference has no cap — its decode runs to
+    # max_len = 20x new-text tokens (llm/llm.py:856); here each request picks
+    # the smallest bucket from `decode_buckets` that covers its own 20x bound
+    # (one compile per bucket, not per length), and a decode that actually
+    # hits this ceiling logs a LOUD truncation warning instead of silently
+    # clipping the audio.  Configure per deployment via from_pretrained /
+    # the serve CLI.
+    max_decode_tokens: int = 800
+    # static decode-length buckets; None derives (200, 400, ..., cap)
+    decode_buckets: Optional[tuple] = None
     # pinned CFM noise [1, N, 80] (models.flow.reference_rand_noise) — set to
     # reproduce the reference's seed-0 buffer slice-for-slice so synthesized
     # wav is allclose to the reference (flow_matching.py:212-213,235).  None
@@ -66,6 +76,12 @@ class CosyVoice2Model:
     flow_noise: Optional[np.ndarray] = None
 
     def __post_init__(self):
+        if self.decode_buckets is None:
+            b, bs = 200, []
+            while b < self.max_decode_tokens:
+                bs.append(b)
+                b *= 2
+            self.decode_buckets = tuple(bs) + (self.max_decode_tokens,)
         fr = self.flow.cfg.input_frame_rate          # 25
         self.token_hop_len = 2 * fr                  # 50
         self.pre_lookahead_len = self.flow.cfg.pre_lookahead_len  # 3
@@ -129,6 +145,26 @@ class CosyVoice2Model:
     # stages
     # ------------------------------------------------------------------
 
+    def decode_cap(self, new_text_len: int) -> int:
+        """Smallest static decode bucket covering 20x new-text tokens (the
+        reference's max_len bound, llm/llm.py:856), clamped by the hard
+        max_decode_tokens ceiling.  One compile per bucket."""
+        allowed = int(new_text_len * self.llm.cfg.max_token_text_ratio)
+        for b in self.decode_buckets:
+            if allowed <= b:
+                return b
+        return self.max_decode_tokens
+
+    def _warn_if_capped(self, count: int, allowed: int, cap: int) -> None:
+        if count >= cap and allowed > cap:
+            import logging
+            logging.warning(
+                "LM decode TRUNCATED at the static cap: emitted %d tokens "
+                "(~%.1f s audio) but the reference's 20x-text bound allows "
+                "%d; raise max_decode_tokens (from_pretrained / serve "
+                "--max-decode-tokens) for longer segments", count,
+                count / self.flow.cfg.input_frame_rate, allowed)
+
     def llm_generate(self, text_tokens: np.ndarray, prompt_text_len: int,
                      prompt_speech_tokens: np.ndarray, rng) -> np.ndarray:
         """Run the full AR decode (one jit); returns emitted token ids."""
@@ -137,13 +173,15 @@ class CosyVoice2Model:
         psp = jnp.asarray(prompt_speech_tokens)[None].astype(jnp.int32)
         plen = jnp.asarray([psp.shape[1]])
         new_text = text.shape[1] - prompt_text_len
+        allowed = int(new_text * self.llm.cfg.max_token_text_ratio)
+        cap = self.decode_cap(new_text)
         min_len = jnp.asarray([int(new_text * self.llm.cfg.min_token_text_ratio)])
-        max_len = jnp.asarray([int(new_text * self.llm.cfg.max_token_text_ratio)])
-        cap = self.max_decode_tokens
+        max_len = jnp.asarray([min(allowed, cap)])
         cache_len = round_up(2 + text.shape[1] + psp.shape[1] + cap, 128)
         out, count = lm_generate(self.llm, self.llm_params, text, tlen, psp, plen,
                                  min_len, max_len, rng, max_steps=cap,
                                  cache_len=cache_len)
+        self._warn_if_capped(int(count[0]), allowed, cap)
         return np.asarray(out[0][: int(count[0])])
 
     def _flow_chunk(self, all_tokens, prompt_tokens, prompt_feat, embedding,
@@ -338,13 +376,14 @@ class CosyVoice2Model:
         text = jnp.asarray(text_tokens)[None]
         psp = jnp.asarray(llm_prompt_speech_token)[None].astype(jnp.int32)
         new_text = text.shape[1] - prompt_text_len
-        cap = self.max_decode_tokens
+        allowed = int(new_text * self.llm.cfg.max_token_text_ratio)
+        cap = self.decode_cap(new_text)
         cache_len = round_up(2 + text.shape[1] + psp.shape[1] + cap, 128)
         state = lm_prefill_stream(
             self.llm, self.llm_params, text, jnp.asarray([text.shape[1]]),
             psp, jnp.asarray([psp.shape[1]]),
             jnp.asarray([int(new_text * self.llm.cfg.min_token_text_ratio)]),
-            jnp.asarray([min(int(new_text * self.llm.cfg.max_token_text_ratio), cap)]),
+            jnp.asarray([min(allowed, cap)]),
             rng, max_steps=cap, cache_len=cache_len)
         prefix_len = 2 + text.shape[1] + psp.shape[1]
         token_offset = 0
@@ -367,6 +406,7 @@ class CosyVoice2Model:
                 yield {"tts_speech": wav}
             if done:
                 break
+        self._warn_if_capped(count, allowed, cap)
         wav = self.token2wav(state.gen.out[0], fpt, prompt_feat, emb,
                              token_offset, session, finalize=True,
                              n_tokens=count)

@@ -37,12 +37,27 @@ def _make_flow_ragged(flow_model):
 
     @partial(jax.jit, static_argnames=("streaming",))
     def _flow_ragged(params, token, token_len, prompt_feat, emb, pfl,
-                     streaming=False):
+                     noise=None, streaming=False):
         return flow_model.apply(params, token, token_len, prompt_feat, emb,
-                                prompt_feat_len=pfl, streaming=streaming,
+                                prompt_feat_len=pfl, noise=noise,
+                                streaming=streaming,
                                 method=type(flow_model).inference)
 
     return _flow_ragged
+
+
+def _noise_for(model: CosyVoice2Model, bucket_tokens: int):
+    """Slice the model's pinned CFM noise (reference seed-0 buffer) to the
+    batch's mel bucket, exactly as the sequential _flow_chunk does — so the
+    engine paths and tts() synthesize identical audio from one checkpoint
+    (reference flow_matching.py:212-213,235 slices one fixed buffer)."""
+    if model.flow_noise is None:
+        return None
+    need = model.ratio * bucket_tokens
+    assert model.flow_noise.shape[1] >= need, (
+        f"flow_noise buffer ({model.flow_noise.shape[1]} frames) too short "
+        f"for {need} mel frames")
+    return jnp.asarray(model.flow_noise[:, :need])
 
 
 @dataclass
@@ -117,6 +132,8 @@ class BatchedSynthesizer:
         plen = np.zeros(B, np.int32)
         min_len = np.zeros(B, np.int32)
         max_len = np.zeros(B, np.int32)
+        allowed = np.zeros(B, np.int32)
+        cap = 0
         for i, r in enumerate(requests):
             n = len(r.text_tokens)
             text[i, :n] = r.text_tokens
@@ -126,9 +143,9 @@ class BatchedSynthesizer:
             plen[i] = k
             new_text = n - r.prompt_text_len
             min_len[i] = int(new_text * m.llm.cfg.min_token_text_ratio)
-            max_len[i] = min(int(new_text * m.llm.cfg.max_token_text_ratio),
-                             m.max_decode_tokens)
-        cap = m.max_decode_tokens
+            allowed[i] = int(new_text * m.llm.cfg.max_token_text_ratio)
+            cap = max(cap, m.decode_cap(new_text))
+            max_len[i] = min(int(allowed[i]), cap)
         cache_len = round_up(2 + Tt + Ts + cap, 128)
 
         def put(x, dtype=None):
@@ -143,6 +160,8 @@ class BatchedSynthesizer:
                                  cache_len=cache_len)
         out = np.asarray(out)
         count = np.asarray(count)
+        for i in range(B):
+            m._warn_if_capped(int(count[i]), int(allowed[i]), int(max_len[i]))
         # flow: prompt ++ generated per row, one ragged-batched call
         ratio = m.ratio
         n_mel = m.flow.cfg.output_size
@@ -162,7 +181,7 @@ class BatchedSynthesizer:
             pf[i, :pfl[i]] = r.prompt_feat
         mel = np.asarray(self._flow_ragged(
             m.flow_params, put(tok), put(tls, dtype=jnp.int32),
-            put(pf), put(emb), put(pfl)))
+            put(pf), put(emb), put(pfl), _noise_for(m, Ttok)))
         # vocoder: repack each row's generated region, one batched call
         Ls = [ratio * tls[i] - int(pfl[i]) for i in range(B)]
         Lmax = round_up(max(Ls), 32)
@@ -251,7 +270,7 @@ class ContinuousSynthesizer:
         mel = self._flow_ragged(
             m.flow_params, jnp.asarray(tokm), jnp.asarray(tls, dtype=jnp.int32),
             jnp.asarray(pf), jnp.asarray(emb), jnp.asarray(pfl),
-            streaming=streaming)
+            _noise_for(m, bucket), streaming=streaming)
         gens, sessions, finals = [], [], []
         for i, (st, tok, off, fin) in enumerate(jobs):
             plen = len(st.req.prompt_speech_tokens)

@@ -92,17 +92,18 @@ def spell_out_number(text: str) -> str:
 #
 # The reference normalizes Chinese text with WeTextProcessing / ttsfrd
 # (frontend.py:113-121) — neither ships in this image.  This is a
-# self-contained normalizer for the high-frequency cases (cardinals,
-# decimals, percents, years, phone-like digit strings).  DOCUMENTED GAPS vs
-# WeTextProcessing (plug a full TN model via CosyVoiceFrontEnd
-# text_normalizer= for production zh):
-#   * measure words/units (5km, 3kg), currency symbols (¥100)
-#   * full date/time grammar (12:30, 2024-05-01), fractions (3/4)
+# self-contained normalizer for the high-frequency cases: cardinals,
+# decimals (incl. negatives), percents, fractions, currency (¥/$/€/元),
+# measure words/units (km, kg, °C, ...), dates (2024-05-01, 2024年5月1日),
+# clock times (12:30, 12:30:05), years, and phone-like digit strings.
+# DOCUMENTED GAPS vs WeTextProcessing (plug a full TN model via
+# CosyVoiceFrontEnd text_normalizer= for production zh):
 #   * polyphone disambiguation and erhua/retroflex handling
+#   * idiomatic classifier insertion (两 vs 二 context rules)
 
 _ZH_DIG = "零一二三四五六七八九"
 _ZH_UNITS = ["", "十", "百", "千"]
-_ZH_GROUPS = ["", "万", "亿", "万亿"]
+_ZH_GROUPS = ["", "万", "亿", "万亿", "亿亿"]
 
 
 def _zh_group4(n: int) -> str:
@@ -123,10 +124,13 @@ def _zh_group4(n: int) -> str:
 
 
 def zh_cardinal(num_str: str) -> str:
-    """Unsigned integer string -> Chinese cardinal (一千二百三十四)."""
+    """Unsigned integer string -> Chinese cardinal (一千二百三十四).
+    Numbers past 万亿亿 (1e20) fall back to digit-by-digit reading."""
     n = int(num_str)
     if n == 0:
         return "零"
+    if n >= 10 ** (4 * len(_ZH_GROUPS)):
+        return zh_digits(num_str)
     groups = []
     gi = 0
     while n > 0:
@@ -149,26 +153,81 @@ def zh_digits(num_str: str) -> str:
     return "".join(_ZH_DIG[int(d)] for d in num_str if d.isdigit())
 
 
+def _zh_number(num_str: str) -> str:
+    """Signed integer/decimal string -> Chinese (负三点一四)."""
+    sign = "负" if num_str.startswith("-") else ""
+    num_str = num_str.lstrip("-")
+    if "." in num_str:
+        intp, frac = num_str.split(".", 1)
+        return sign + zh_cardinal(intp or "0") + "点" + zh_digits(frac)
+    return sign + zh_cardinal(num_str)
+
+
+# measure words / units after a number (longest-match first)
+_ZH_UNIT_WORDS = [
+    ("km/h", "公里每小时"), ("m/s", "米每秒"), ("km²", "平方公里"),
+    ("m²", "平方米"), ("km", "公里"), ("cm", "厘米"), ("mm", "毫米"),
+    ("kg", "千克"), ("mg", "毫克"), ("ml", "毫升"), ("°C", "摄氏度"),
+    ("℃", "摄氏度"), ("GB", "吉字节"), ("MB", "兆字节"), ("TB", "太字节"),
+    ("Hz", "赫兹"), ("kW", "千瓦"), ("m", "米"), ("g", "克"), ("L", "升"),
+    ("t", "吨"), ("W", "瓦"),
+]
+_ZH_UNIT_RE = "|".join(re.escape(u) for u, _ in _ZH_UNIT_WORDS)
+_ZH_CURRENCY = {"¥": "元", "￥": "元", "$": "美元", "€": "欧元", "£": "英镑"}
+
+
 def zh_spell_numbers(text: str) -> str:
     """Normalize digits inside Chinese text (the WeTextProcessing subset
-    above; reference frontend.py:117 zh_tn_model.normalize)."""
-    # percents: 50% / 3.5% -> 百分之五十 / 百分之三点五
-    def pct(m):
-        return "百分之" + zh_spell_numbers(m.group(1))
+    above; reference frontend.py:117 zh_tn_model.normalize).  Golden strings
+    in tests/test_runtime.py::test_zh_textnorm_golden."""
+    num = r"-?\d+(?:\.\d+)?"
+    # dates: 2024-05-01 / 2024/5/1 -> 二零二四年五月一日
+    def date(m):
+        y, mo, d = m.group(1), int(m.group(2)), int(m.group(3))
+        return f"{zh_digits(y)}年{zh_cardinal(str(mo))}月{zh_cardinal(str(d))}日"
 
-    text = re.sub(r"(\d+(?:\.\d+)?)%", pct, text)
+    text = re.sub(r"(\d{4})[-/](\d{1,2})[-/](\d{1,2})(?!\d)", date, text)
+    # clock times: 12:30 / 12:30:05 -> 十二点三十分 / ...零五秒; :00 -> 点整
+    def clock(m):
+        h, mi = int(m.group(1)), int(m.group(2))
+        out = zh_cardinal(str(h)) + "点"
+        out += ("整" if mi == 0 and not m.group(3)
+                else zh_cardinal(str(mi)) + "分")
+        if m.group(3):
+            s = int(m.group(3))
+            out += ("零" if s < 10 else "") + zh_cardinal(str(s)) + "秒"
+        return out
+
+    text = re.sub(r"(?<![\d:])([01]?\d|2[0-3]):([0-5]\d)(?::([0-5]\d))?(?![\d:])",
+                  clock, text)
+    # percents: 50% / -3.5% -> 百分之五十 / 负百分之三点五
+    def pct(m):
+        n = m.group(1)
+        sign = "负" if n.startswith("-") else ""
+        return sign + "百分之" + _zh_number(n.lstrip("-"))
+
+    text = re.sub(rf"({num})%", pct, text)
+    # fractions: 3/4 -> 四分之三 (dates already consumed above)
+    text = re.sub(r"(?<![\d./])(\d{1,6})/(\d{1,6})(?![\d./])",
+                  lambda m: zh_cardinal(m.group(2)) + "分之" + zh_cardinal(m.group(1)),
+                  text)
+    # currency: ¥100 / $5.5 -> 一百元 / 五点五美元
+    def cur(m):
+        return _zh_number(m.group(2)) + _ZH_CURRENCY[m.group(1)]
+
+    text = re.sub(rf"([¥￥$€£])({num})", cur, text)
+    # measure words/units: 5km -> 五公里, -3°C -> 负三摄氏度
+    text = re.sub(rf"({num})({_ZH_UNIT_RE})(?![A-Za-z])",
+                  lambda m: _zh_number(m.group(1))
+                  + dict(_ZH_UNIT_WORDS)[m.group(2)], text)
     # 4-digit years before 年 read digit-by-digit
     text = re.sub(r"(\d{4})(?=年)", lambda m: zh_digits(m.group(1)), text)
     # phone-like long digit strings read digit-by-digit
     text = re.sub(r"\d{10,}", lambda m: zh_digits(m.group()), text)
-    # decimals: 3.14 -> 三点一四
-    text = re.sub(r"(\d+)\.(\d+)",
-                  lambda m: zh_cardinal(m.group(1)) + "点" + zh_digits(m.group(2)),
-                  text)
+    # decimals (signed): -3.14 -> 负三点一四
+    text = re.sub(r"-?\d+\.\d+", lambda m: _zh_number(m.group()), text)
     # remaining integers -> cardinals (负 for a leading minus sign)
-    text = re.sub(r"-?\d+",
-                  lambda m: ("负" if m.group().startswith("-") else "")
-                  + zh_cardinal(m.group().lstrip("-")), text)
+    text = re.sub(r"-?\d+", lambda m: _zh_number(m.group()), text)
     return text
 
 

@@ -104,6 +104,11 @@ def test_continuous_synthesizer_matches_sequential_stream(batch_chunks):
     bias[SPEECH_VOCAB:] = -30.0
     m.llm_params["params"]["llm_decoder"]["bias"] = jnp.asarray(bias)
     rng = np.random.default_rng(5)
+    # PIN the CFM noise (as from_pretrained does with the reference's seed-0
+    # buffer): the engine's ragged flow batches must consume the same pinned
+    # buffer as the sequential tts() path (round-2 ADVICE: they silently
+    # diverged when flow_noise was set)
+    m.flow_noise = (rng.standard_normal((1, 2000, N_MEL)) * 0.7).astype(np.float32)
     reqs = []
     for n in (30, 27):  # min_len = 2n > hop+la=53 guarantees >=1 stream chunk
         reqs.append(TTSRequest(

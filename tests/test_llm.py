@@ -259,6 +259,84 @@ def test_qdense_int8_quant_error_small(rng):
     assert err < 0.01
 
 
+def test_lm_int4_decode_matches_fp():
+    """Packed-int4 weight-only LM (quant='int4', group-wise scales, Pallas
+    dequant matmul — round-2 VERDICT #1).  Agreement gate: TEACHER-FORCED
+    next-token argmax >= 75% vs the fp model (the int8 test's free-running
+    trajectory gate is not meaningful at 4 bits on a hidden-32 random model —
+    ~7% weight noise makes the greedy trajectory chaotic at ANY group size;
+    measured 0.36 agreement at group=2 and group=8 alike, while positional
+    argmax agreement is a stable 0.82.  At the real 896-dim hidden the same
+    noise averages ~5x smaller; bench.py reports the real-shape agreement).
+    A full free-running decode also runs as a sanity check (valid finite
+    tokens, emits something)."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.qwen2 import causal_prefill_bias
+    from cosyvoice_tpu.utils.quant import quantize_qwen_int4
+
+    rng = np.random.default_rng(0)
+
+    S = 20
+    cfg = LMConfig(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
+                   speech_token_size=S, qwen=TINY,
+                   sampling=SamplingConfig(method="greedy"))
+    model = Qwen2LM(cfg)
+    text = jnp.asarray(rng.integers(0, TINY.vocab_size, (1, 6)))
+    params = model.init(jax.random.PRNGKey(0), text, jnp.asarray([6]),
+                        text, jnp.asarray([6]))
+    psp = jnp.asarray(rng.integers(0, S, (1, 48)))
+
+    qcfg = dataclasses.replace(
+        cfg, qwen=dataclasses.replace(TINY, quant="int4", quant_group=8))
+    qmodel = Qwen2LM(qcfg)
+    qparams = quantize_qwen_int4(params, group_size=8)
+
+    def logits_of(m, p):
+        emb, seq_len = m.apply(p, text, jnp.asarray([6]), psp, jnp.asarray([48]),
+                               method=Qwen2LM.prefill_embeds)
+        T = emb.shape[1]
+        bias = causal_prefill_bias(T, T, seq_len, 1, emb.dtype)
+        pos = jnp.broadcast_to(jnp.arange(T)[None], (1, T))
+        h, _ = m.apply(p, emb, pos, bias, method=Qwen2LM.forward_hidden)
+        return np.asarray(m.apply(p, h, method=Qwen2LM.decode_logits))[0]
+
+    lf, lq = logits_of(model, params), logits_of(qmodel, qparams)
+    agree = (lf.argmax(-1) == lq.argmax(-1)).mean()
+    assert agree >= 0.75, agree
+
+    args = (text, jnp.asarray([6]), psp[:, :4], jnp.asarray([4]),
+            jnp.asarray([4]), jnp.asarray([12]), jax.random.PRNGKey(0))
+    out_q, cnt_q = lm_generate(qmodel, qparams, *args, max_steps=16, cache_len=64)
+    n = int(cnt_q[0])
+    assert n > 0 and (np.asarray(out_q[0][:n]) < S).all()
+
+
+def test_int4_matmul_kernel_exact_vs_xla_twin(rng):
+    """The Pallas packed-int4 dequant matmul == its XLA twin == explicit
+    dequant-then-dot, at decode-like shapes (odd B, lane-sized out,
+    group-wise scales)."""
+    from cosyvoice_tpu.ops.pallas.int4_matmul import (int4_matmul,
+                                                      int4_matmul_xla,
+                                                      pack_int4)
+
+    IN, OUT, G = 64, 256, 16
+    w_int = rng.integers(-7, 8, (IN, OUT)).astype(np.int8)
+    scale = (np.abs(rng.standard_normal((IN // G, OUT))) * 0.02
+             + 1e-3).astype(np.float32)
+    packed = jnp.asarray(pack_int4(w_int))
+    x = jnp.asarray(rng.standard_normal((3, IN)), jnp.float32)
+
+    w_deq = (w_int.reshape(IN // G, G, OUT).astype(np.float32)
+             * scale[:, None, :]).reshape(IN, OUT)
+    want = np.asarray(x, np.float32) @ w_deq
+    got_xla = np.asarray(int4_matmul_xla(x, packed, jnp.asarray(scale)))
+    got_pl = np.asarray(int4_matmul(x, packed, jnp.asarray(scale),
+                                    interpret=True))
+    np.testing.assert_allclose(got_xla, want, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(got_pl, want, atol=1e-4, rtol=1e-4)
+
+
 def test_lm_fused_cache_decode_matches_baseline():
     """fused_cache_update (packed-cache Pallas decode attention, TPU serving
     lever) produces token-for-token identical greedy decodes vs the XLA
