@@ -267,6 +267,29 @@ def make_handler(worker, sample_rate: int):
     return Handler
 
 
+def warmup(cv) -> float:
+    """Compile the serving programs before accepting traffic: one synthetic
+    zero-shot request through the streaming path (LM prefill+decode, flow
+    chunk buckets, grouped vocode).  With the persistent executable cache
+    populated by a previous run, this loads compiled programs from disk in
+    seconds; cold, it pays the compiles here instead of on the first real
+    request.  Returns the wall seconds spent."""
+    import time as _t
+
+    t0 = _t.time()
+    rng = np.random.default_rng(0)
+    prompt = (rng.standard_normal(16000) * 0.05).astype(np.float32)  # 1 s
+    try:
+        for _ in cv.inference_zero_shot("warmup synthesis request.",
+                                        "prompt text.", prompt, stream=True):
+            pass
+    except Exception as e:  # never block serving on a warmup failure
+        print(f"warmup failed (continuing): {e}", flush=True)
+    dt = _t.time() - t0
+    print(f"warmup done in {dt:.1f}s", flush=True)
+    return dt
+
+
 def serve(cosyvoice, host: str = "0.0.0.0", port: int = 8080,
           continuous: bool = False, num_slots: int = 8):
     worker = ContinuousWorker(cosyvoice, num_slots=num_slots) if continuous \
@@ -291,11 +314,25 @@ def main():
                     help="hard per-segment speech-token ceiling (~tokens/25 "
                          "s of audio); decodes hitting it log a truncation "
                          "warning")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the synthetic warmup request (first real "
+                         "request then pays any remaining compiles)")
     args = ap.parse_args()
+    # Warm server restarts: the persistent executable cache replaces the
+    # reference's TensorRT engine-cache reload (cli/model.py:101-113) — a
+    # restarted server re-loads COMPILED TPU programs from disk instead of
+    # re-tracing/compiling for minutes.  (bin/export_aot.py's StableHLO
+    # artifacts still pay XLA backend compilation on load; the executable
+    # cache skips that too, so it is the serving cold-start path.)
+    from cosyvoice_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from cosyvoice_tpu.runtime.api import from_pretrained
 
     cv = from_pretrained(args.model_dir, fp16=args.fp16, quant=args.quant,
                          max_decode_tokens=args.max_decode_tokens)
+    if not args.no_warmup:
+        warmup(cv)
     httpd = serve(cv, args.host, args.port, continuous=args.continuous,
                   num_slots=args.num_slots)
     print(f"serving on {args.host}:{args.port}", flush=True)

@@ -164,6 +164,16 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         return torch.load(os.path.join(model_dir, name), map_location="cpu",
                           weights_only=True)
 
+    def load_params(stem, import_fn):
+        """Sub-model params: prefer the native .npz (deployable dirs written
+        by bin/ckpt_resave.py --out_dir — no torch needed), fall back to the
+        reference-format .pt through the torch importer."""
+        npz = os.path.join(model_dir, f"{stem}.npz")
+        if os.path.exists(npz):
+            from cosyvoice_tpu.utils.npz_io import load_params_npz
+            return load_params_npz(npz)
+        return import_fn(load(f"{stem}.pt"))
+
     lm_cfg = lm_cfg or LMConfig()
     flow_cfg = flow_cfg or FlowConfig()
     hift_cfg = hift_cfg or HiFTConfig()
@@ -188,9 +198,10 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
     llm = Qwen2LM(lm_cfg)
     flow = CausalMaskedDiffWithXvec(flow_cfg)
     hift = HiFTGenerator(hift_cfg)
-    hift_sd = {k.removeprefix("generator."): v for k, v in load("hift.pt").items()}
-    llm_params = import_qwen2lm_torch(load("llm.pt"), lm_cfg)
-    flow_params = import_flow_torch(load("flow.pt"), flow_cfg)
+    llm_params = load_params("llm", lambda sd: import_qwen2lm_torch(sd, lm_cfg))
+    flow_params = load_params("flow", lambda sd: import_flow_torch(sd, flow_cfg))
+    hift_params = load_params("hift", lambda sd: import_hift_torch(
+        {k.removeprefix("generator."): v for k, v in sd.items()}, hift_cfg))
     if fp16:
         llm_params = to_bf16(llm_params)
         # serving-dtype param subtrees matching the config knobs above: the
@@ -208,7 +219,6 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
                                                quantize_qwen_int8)
         llm_params = (quantize_qwen_int8 if quant == "int8"
                       else quantize_qwen_int4)(llm_params)
-    hift_params = import_hift_torch(hift_sd, hift_cfg)
     if fp16:
         hift_params = to_bf16(hift_params)
     flow_noise = None
@@ -226,8 +236,13 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         flow_noise=flow_noise)
     tok = QwenTokenizer(tokenizer_path or os.path.join(model_dir, "CosyVoice-BlankEN"))
     spk2info = {}
+    spk2info_npz = os.path.join(model_dir, "spk2info.npz")
     spk2info_path = os.path.join(model_dir, "spk2info.pt")
-    if os.path.exists(spk2info_path):  # sft speaker table (frontend.py:56)
+    if os.path.exists(spk2info_npz):  # native table (ckpt_resave --ref_audio)
+        from cosyvoice_tpu.utils.npz_io import load_params_npz
+        spk2info = {k: {"embedding": np.asarray(v["embedding"]).reshape(-1)}
+                    for k, v in load_params_npz(spk2info_npz).items()}
+    elif os.path.exists(spk2info_path):  # sft speaker table (frontend.py:56)
         raw = torch.load(spk2info_path, map_location="cpu", weights_only=False)
         spk2info = {k: {"embedding": np.asarray(v["embedding"]).reshape(-1)}
                     for k, v in raw.items()}

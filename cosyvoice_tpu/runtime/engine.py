@@ -259,6 +259,12 @@ class ServingEngine:
     cache_len: int = 1024
     max_out: int = 768
     segment_steps: int = 50
+    # extra steps for the segment right after an admission: a fresh slot has
+    # 1 token (the admit sample), so a consumer needing hop+lookahead tokens
+    # per chunk (streaming TTS: 50+3) would otherwise wait TWO segments
+    # (1+50 < 53) for its first chunk — ~2x the first-chunk decode latency.
+    # ContinuousSynthesizer passes lookahead-1 so 1 + (50+2) = 53 exactly.
+    first_segment_extra: int = 0
     text_bucket: int = 32
     speech_bucket: int = 64
 
@@ -325,22 +331,26 @@ class ServingEngine:
                                 jnp.asarray(len(ps), jnp.int32),
                                 jnp.asarray(mn, jnp.int32), jnp.asarray(mx, jnp.int32))
 
-        def pull(block_idle: bool):
-            """Admit into free slots.  block_idle=True may block waiting for
-            work when nothing is live; inside the decode loop it must be
-            False — consumer flushes (on_segment) are still pending there and
-            blocking before them would stall the last chunks of a request
-            until unrelated new work arrived."""
+        def pull(block_idle: bool) -> bool:
+            """Admit into free slots; returns True if anything was admitted.
+            block_idle=True may block waiting for work when nothing is live;
+            inside the decode loop it must be False — consumer flushes
+            (on_segment) are still pending there and blocking before them
+            would stall the last chunks of a request until unrelated new
+            work arrived."""
             nonlocal state, stopping
+            admitted = False
             while free and not stopping:
                 try:
                     item = submissions.get(block=block_idle and not slot_cb)
                 except queue.Empty:
-                    return
+                    return admitted
                 if item is None:
                     stopping = True
-                    return
+                    return admitted
                 state = admit(free.pop(), *item)
+                admitted = True
+            return admitted
 
         def harvest():
             """Blocks on the in-flight segment; streams new tokens, frees
@@ -360,20 +370,25 @@ class ServingEngine:
                     del slot_cb[slot], seen[slot]
                     free.append(slot)
 
+        def segment_steps_for(admitted: bool) -> int:
+            return self.segment_steps + (self.first_segment_extra if admitted
+                                         else 0)
+
         while True:
-            pull(block_idle=True)
+            admitted = pull(block_idle=True)
             if not slot_cb:
                 if stopping:
                     return
                 continue
             state = engine_decode_segment(self.model, self.params, state,
-                                          self.segment_steps)
+                                          segment_steps_for(admitted))
             while slot_cb:
                 harvest()
-                pull(block_idle=False)
+                admitted = pull(block_idle=False)
                 if slot_cb:
-                    state = engine_decode_segment(self.model, self.params,
-                                                  state, self.segment_steps)
+                    state = engine_decode_segment(
+                        self.model, self.params, state,
+                        segment_steps_for(admitted))
                 if on_segment is not None:
                     on_segment()
             if stopping:

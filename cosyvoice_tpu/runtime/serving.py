@@ -297,7 +297,12 @@ class ContinuousSynthesizer:
         engine = ServingEngine(m.llm, m.llm_params, num_slots=self.num_slots,
                                cache_len=self.cache_len,
                                max_out=self.max_out or m.max_decode_tokens,
-                               segment_steps=hop, text_bucket=self.text_bucket,
+                               segment_steps=hop,
+                               # fresh slots reach their first hop+la chunk
+                               # boundary in ONE segment (admit token + hop +
+                               # la-1 steps), halving first-chunk latency
+                               first_segment_extra=max(0, la - 1),
+                               text_bucket=self.text_bucket,
                                speech_bucket=self.speech_bucket)
         jobs: list[tuple] = []
 

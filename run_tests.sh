@@ -1,32 +1,16 @@
 #!/usr/bin/env bash
-# Run the full test suite with per-file process isolation.
+# Full test suite, parallel (pytest-xdist, one worker per core).
 #
-# Rationale: ~160 jit-heavy tests (JAX CPU backend + torch reference oracles)
-# in ONE process accumulate host memory / XLA client state and eventually
-# segfault near the end of the suite (round-1 VERDICT "What's weak" #1).
-# Until the in-process leak is gone, each test file runs in its own pytest
-# process; a file-level failure fails the whole run.
+# --dist loadfile keeps each test FILE on one worker, preserving the
+# module-scoped fixtures (reference model dirs, golden dumps).  The round-1
+# in-process leak (one pytest process segfaulting near the end of the suite)
+# no longer reproduces — `python -m pytest tests/ -q` has been green since
+# round 2 — and xdist workers are separate processes anyway, so each carries
+# at most a quarter of the suite's JAX/torch state.
 #
 # Usage: ./run_tests.sh [extra pytest args...]
 set -u
 cd "$(dirname "$0")"
 
-pass=0
-fail=0
-failed_files=()
-start=$(date +%s)
-for f in tests/test_*.py; do
-  if timeout 1200 python -m pytest "$f" -q -x --no-header -p no:cacheprovider "$@"; then
-    pass=$((pass + 1))
-  else
-    fail=$((fail + 1))
-    failed_files+=("$f")
-  fi
-done
-elapsed=$(( $(date +%s) - start ))
-echo "=================================================================="
-echo "run_tests.sh: ${pass} files passed, ${fail} files failed (${elapsed}s)"
-if [ "$fail" -ne 0 ]; then
-  printf 'FAILED: %s\n' "${failed_files[@]}"
-  exit 1
-fi
+exec python -m pytest tests/ -q -p no:cacheprovider \
+    -n "${PYTEST_WORKERS:-$(nproc)}" --dist loadfile "$@"

@@ -287,3 +287,54 @@ def test_sft_and_vc_from_model_dir(cv2):
     outs = list(cv2.inference_vc(src, _prompt_wav(), stream=False))
     wav_out = np.concatenate([o["tts_speech"] for o in outs])
     assert wav_out.size > 0 and np.isfinite(wav_out).all()
+
+
+def test_ckpt_resave_assembles_deployable_dir(model_dir, cv2, tmp_path):
+    """Full-system checkpoint assembly (reference bin/ckpt_resave.py:432-675):
+    ONE command produces a deployable dir that from_pretrained loads
+    torch-free (llm/flow/hift.npz + onnx + tokenizer + spk2info.npz), with
+    params exactly equal to the .pt import path, a speaker registered from a
+    reference wav, and strict=False-style tolerant loads for partial/
+    mismatched checkpoints."""
+    from cosyvoice_tpu.bin.ckpt_resave import assemble_dir, merge_state_dicts
+    from cosyvoice_tpu.bin.inference import write_wav
+    from cosyvoice_tpu.runtime.api import from_pretrained
+
+    # strict=False semantics: partial update over a base, mismatched shapes
+    # kept from base, unexpected keys dropped
+    base = {"a": np.zeros((2, 3)), "b": np.ones((4,))}
+    upd = {"a": np.full((2, 3), 7.0), "b": np.ones((5,)), "c": np.ones(1)}
+    merged = merge_state_dicts(base, upd)
+    np.testing.assert_array_equal(merged["a"], upd["a"])
+    np.testing.assert_array_equal(merged["b"], base["b"])
+    assert "c" not in merged
+
+    ref_wav = tmp_path / "alice_ref.wav"
+    write_wav(str(ref_wav), _prompt_wav(0.5), 16000)
+    out = tmp_path / "deploy"
+    assemble_dir(str(out),
+                 llm_pt=str(model_dir / "llm.pt"),
+                 flow_pt=str(model_dir / "flow.pt"),
+                 hift_pt=str(model_dir / "hift.pt"),
+                 campplus_onnx=str(model_dir / "campplus.onnx"),
+                 s3_onnx=str(model_dir / "speech_tokenizer_v2.onnx"),
+                 tokenizer_dir=str(model_dir / "CosyVoice-BlankEN"),
+                 ref_audios={"alice": str(ref_wav)},
+                 lm_cfg=LM_CFG, flow_cfg=FLOW_CFG, hift_cfg=HIFT_CFG,
+                 campplus_cfg=CAMP_CFG)
+
+    cvd = from_pretrained(str(out), max_decode_tokens=96,
+                          lm_cfg=LM_CFG, flow_cfg=FLOW_CFG, hift_cfg=HIFT_CFG,
+                          campplus_cfg=CAMP_CFG, s3_cfg=S3_CFG)
+    # npz params == pt-import params, exactly
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           cvd.model.llm_params, cv2.model.llm_params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           cvd.model.flow_params, cv2.model.flow_params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           cvd.model.hift_params, cv2.model.hift_params)
+    # the extracted speaker drives sft end-to-end
+    assert cvd.list_available_spks() == ["alice"]
+    outs = list(cvd.inference_sft("hello world", "alice", stream=False))
+    wav_out = np.concatenate([o["tts_speech"] for o in outs])
+    assert wav_out.size > 0 and np.isfinite(wav_out).all()

@@ -11,9 +11,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cosyvoice_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from cosyvoice_tpu.ops.pallas.dit_attention import dit_attention_packed
 
-B, T, H, D = 64, 1152, 8, 64
+import os
+
+B = int(os.environ.get("PROBE_B", "64"))  # serving reality: 2*B CFG rows
+T, H, D = 1152, 8, 64
 DIM, INNER, FF = 256, H * D, 1024
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 dt = jnp.bfloat16

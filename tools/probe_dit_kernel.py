@@ -17,7 +17,10 @@ import jax.numpy as jnp
 
 from cosyvoice_tpu.ops.pallas.dit_attention import dit_attention_packed
 
-B, T, H, D = 64, 1152, 8, 64
+import os
+
+B = int(os.environ.get("PROBE_B", "64"))  # serving reality: 2*B CFG rows
+T, H, D = 1152, 8, 64
 INNER = H * D
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 dt = jnp.bfloat16
