@@ -58,6 +58,10 @@ def test_recipe_builds_and_inits(path):
             elif kind == "TransformerLM":
                 shapes = jax.eval_shape(
                     lambda: model.init(k, text, l1, st, l2, emb))
+            elif kind == "TransformerLMPhoneme":
+                # v1 phoneme LM: factored phoneme ids REPLACE the text stream
+                shapes = jax.eval_shape(
+                    lambda: model.init(k, pho, l1, st, l2, emb))
             else:  # phoneme family: (text, text_len, pho, pho_len, st, st_len, emb)
                 shapes = jax.eval_shape(
                     lambda: model.init(k, text, l1, pho, l1, st, l2, emb))
