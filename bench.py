@@ -224,10 +224,17 @@ def main():
         return wav
 
 
+    # Peaks MEASURED on this chip (dependent-chain scans with forced host
+    # reads; see round-3 notes): 8k^3 bf16 matmul ~610 TF/s, int8 ~858 TOP/s,
+    # elementwise streaming ~1.54 TB/s.  The nominal v5e numbers (197/819)
+    # undershoot what this backend actually delivers, so MFU is reported
+    # against the measured peaks.
+    PEAK_TFS, PEAK_GBS = 610.0, 1540.0
+
     def roofline(B, dt):
         """Stage MFU / roofline accounting (printed so regressions are
         visible — round-1 VERDICT bench-methodology gap).  Analytic FLOPs/
-        bytes at the bench shapes; v5e peaks: 197 bf16 TF/s, 819 GB/s HBM."""
+        bytes at the bench shapes vs the measured machine peaks."""
         T_mel = (50 + N_TOKENS) * 2
         Tp = ((T_mel + 127) // 128) * 128
         blocks, dim, heads, hd, ff = 14 * 4, 256, 8, 64, 1024
@@ -243,10 +250,11 @@ def main():
                   ) * qwen.num_layers
         lm_gb = wbytes * N_TOKENS / 1e9
         log(f"    roofline: flow estimator ~{10 * est_tf:.1f} TF "
-            f"({10 * est_tf / dt / 197 * 100:.0f}% of bf16 peak if it had the "
-            f"whole {dt:.2f}s); LM decode reads ~{lm_gb:.0f} GB int8 weights "
-            f"({lm_gb / dt / 819 * 100:.0f}% of HBM peak at full duration) — "
-            f"see BENCH_STAGES=1 for the per-stage split")
+            f"({10 * est_tf / dt / PEAK_TFS * 100:.0f}% of measured bf16 peak "
+            f"{PEAK_TFS:.0f} TF/s if it had the whole {dt:.2f}s; attention "
+            f"is depth-64 -> ~25% MXU ceiling); LM decode reads ~{lm_gb:.0f} "
+            f"GB int8 weights ({lm_gb / dt / PEAK_GBS * 100:.0f}% of measured "
+            f"HBM peak at full duration) — BENCH_STAGES=1 for the split")
 
     only = os.environ.get("BENCH_ONLY", "")  # "", "batch", "ragged", "stream"
 
@@ -434,7 +442,7 @@ def main():
         n_par = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(llm_tr_params))
         toks = Bt * (Tt + Ts + 2)
         train_llm_tok_s = toks / dt
-        train_llm_mfu = 6.0 * n_par * toks / dt / 197e12
+        train_llm_mfu = 6.0 * n_par * toks / dt / (PEAK_TFS * 1e12)
         log(f"train llm (bs {Bt}, seq {Tt}+{Ts}): {dt*1e3:.0f} ms/step, "
             f"{train_llm_tok_s:.0f} tok/s, MFU {train_llm_mfu*100:.0f}% "
             f"({n_par/1e6:.0f}M params)")

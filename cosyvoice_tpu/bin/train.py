@@ -16,6 +16,9 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +59,11 @@ def get_args():
     p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--rank", type=int, default=None)
     p.add_argument("--world_size", type=int, default=None)
+    p.add_argument("--lora", action="store_true",
+                   help="LoRA finetune: train only low-rank adapters over "
+                        "the frozen base (also enabled by lora_conf.enabled "
+                        "in the recipe); adapters checkpoint to the model "
+                        "dir and export as lora.npz for ckpt_resave merge")
     p.add_argument("--data_format", choices=["jsonl", "spk_json", "parquet"],
                    default="jsonl",
                    help="train_data shard format: jsonl lines or the "
@@ -175,6 +183,26 @@ def main():
         return
 
     params, _ = shard_params(params, mesh, rules)
+    # LoRA finetune (reference loralib/utils.py:11-223 + the *_lora.yaml
+    # recipes): the optimizer state and train step cover ONLY the low-rank
+    # overlay; the frozen base is closed over by the wrapped loss.
+    lora_conf = conf.get("lora_conf", {})
+    use_lora = bool(lora_conf.get("enabled")) or args.lora
+    if use_lora:
+        from cosyvoice_tpu.train.lora import (LoRAConfig, init_lora,
+                                              lora_loss_fn, lora_state_dict)
+        pats = lora_conf.get("patterns",
+                             ["q_proj", "k_proj", "v_proj", "o_proj"])
+        lcfg = LoRAConfig(
+            r=int(lora_conf.get("rank", 8)),
+            alpha=int(lora_conf.get("alpha", 16)),
+            target_patterns=(rf".*/({'|'.join(pats)})/kernel$",))
+        base_params = params
+        params = init_lora(base_params, lcfg, rng)
+        assert params, f"lora patterns matched no kernels: {pats}"
+        loss_fn = lora_loss_fn(base_params, loss_fn, lcfg)
+        logging.info("LoRA finetune: %d adapters (r=%d alpha=%d)",
+                     len(params), lcfg.r, lcfg.alpha)
     tx, _ = make_optimizer(
         train_conf.get("optim", "adam"), train_conf.get("lr", 1e-3),
         train_conf.get("scheduler", "warmuplr"),
@@ -206,6 +234,11 @@ def main():
               if args.cv_data else None)
         state = ex.train_one_epoch(state, ds, cv_data=cv,
                                    to_device=lambda b: shard_batch(b, mesh))
+        if use_lora:
+            # deployable adapter export after every epoch: ckpt_resave
+            # --lora_npz merges it into the base (W += alpha/r * B @ A)
+            np.savez(os.path.join(args.model_dir, "lora.npz"),
+                     **lora_state_dict(state.params))
 
 
 def run_phoneme_llm_training(args, conf, model, kind, train_conf, tokenizer,

