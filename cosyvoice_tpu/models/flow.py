@@ -70,24 +70,29 @@ class ELayerNorm(nn.Module):
     """LayerNorm with nn.LayerNorm's param names ({scale, bias}) and numerics
     (fp32 fast-variance stats), plus a serving fast path: one fused Pallas
     pass (optionally folding in the following mish) instead of XLA's several
-    whole-tensor VPU passes — ~3x at estimator serving shapes."""
+    whole-tensor VPU passes — ~3x at estimator serving shapes.
 
+    setup-style so sibling modules (the fused whole-DiT-block kernel) can
+    read the raw scale/bias without invoking the computation."""
+
+    dim: int
     eps: float = 1e-5
     fused: bool = False
     act: str = "none"  # "none" | "mish"
 
-    @nn.compact
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
     def __call__(self, x: jax.Array) -> jax.Array:
         from cosyvoice_tpu.ops.pallas import fused_norm as FN
 
-        C = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (C,))
-        bias = self.param("bias", nn.initializers.zeros, (C,))
         n_rows = int(np.prod(x.shape[:-1]))
         if (self.fused and jax.default_backend() == "tpu"
-                and FN.supports(n_rows, C)):
-            return FN.fused_layer_norm(x, scale, bias, self.eps, self.act)
-        return FN.layer_norm_xla(x, scale, bias, self.eps, self.act)
+                and FN.supports(n_rows, self.dim)):
+            return FN.fused_layer_norm(x, self.scale, self.bias, self.eps,
+                                       self.act)
+        return FN.layer_norm_xla(x, self.scale, self.bias, self.eps, self.act)
 
 
 class Block1D(nn.Module):
@@ -103,7 +108,8 @@ class Block1D(nn.Module):
         pad = (2, 0) if self.causal else (1, 1)
         h = Conv1d(self.dim_out, 3, padding=pad, name="conv")(x * mask[..., None])
         if self.causal:
-            h = ELayerNorm(fused=self.fused_norm, act="mish", name="norm")(h)
+            h = ELayerNorm(self.dim_out, fused=self.fused_norm, act="mish",
+                           name="norm")(h)
         else:
             h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(h)
             h = mish(h)
@@ -173,12 +179,34 @@ def _flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return o.transpose(0, 2, 1, 3)[:, :T]
 
 
+class DenseP(nn.Module):
+    """nn.Dense twin with setup-declared params (identical names/inits/
+    dtype promotion), so sibling code — the fused whole-DiT-block kernel —
+    can read the raw kernel/bias without invoking the layer."""
+
+    features: int
+    in_features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dt = jnp.result_type(x.dtype, self.kernel.dtype)
+        return (jnp.dot(x.astype(dt), self.kernel.astype(dt))
+                + self.bias.astype(dt))
+
+
 class DiTBlock(nn.Module):
     """diffusers BasicTransformerBlock (self-attn only, gelu FF).
 
     attn_bias is ADDED to the scores verbatim — pass the reference's 0/1
     float mask to reproduce its (soft) masking semantics.  When `pad_mask`
-    is given instead, the fused flash kernel is used (serving fast path).
+    is given instead, the fused flash kernel is used (serving fast path),
+    or — with `fused_block` — the ENTIRE block runs as one Pallas kernel
+    (ops/pallas/dit_block.py): no qkv/attention-out/FFN-mid HBM round trips
+    and weights stay VMEM-resident across the batch.
     """
 
     dim: int
@@ -187,21 +215,47 @@ class DiTBlock(nn.Module):
     ff_mult: int = 4
     approx_gelu: bool = False
     fused_norm: bool = False
+    fused_block: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array],
-                 pad_mask: Optional[jax.Array] = None) -> jax.Array:
+    def setup(self):
         inner = self.heads * self.head_dim
-        h = ELayerNorm(fused=self.fused_norm, name="norm1")(x)
-        B, T, _ = x.shape
+        init = nn.initializers.lecun_normal()
+        self.norm1 = ELayerNorm(self.dim, fused=self.fused_norm)
         # raw [in, inner] kernels (diffusers to_q/to_k/to_v, bias=False),
         # packed into ONE [in, 3*inner] matmul — per output column the dot
         # product is unchanged, and one MXU pass beats three half-deep ones
-        init = nn.initializers.lecun_normal()
-        wq = self.param("to_q", init, (h.shape[-1], inner))
-        wk = self.param("to_k", init, (h.shape[-1], inner))
-        wv = self.param("to_v", init, (h.shape[-1], inner))
-        qkv = h @ jnp.concatenate([wq, wk, wv], axis=1).astype(h.dtype)
+        self.wq = self.param("to_q", init, (self.dim, inner))
+        self.wk = self.param("to_k", init, (self.dim, inner))
+        self.wv = self.param("to_v", init, (self.dim, inner))
+        self.to_out = DenseP(self.dim, inner)
+        self.norm3 = ELayerNorm(self.dim, fused=self.fused_norm)
+        self.ff_in = DenseP(self.dim * self.ff_mult, self.dim)
+        self.ff_out = DenseP(self.dim, self.dim * self.ff_mult)
+
+    def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array],
+                 pad_mask: Optional[jax.Array] = None) -> jax.Array:
+        inner = self.heads * self.head_dim
+        B, T, _ = x.shape
+        if (pad_mask is not None and self.fused_block and self.approx_gelu
+                and jax.default_backend() == "tpu"):
+            from cosyvoice_tpu.ops.pallas import dit_block as DB
+
+            if DB.supports(T, self.heads, self.head_dim, self.dim,
+                           self.dim * self.ff_mult):
+                lens = jnp.sum((pad_mask > 0).astype(jnp.int32), axis=1)
+                wqkv = jnp.concatenate([self.wq, self.wk, self.wv], axis=1)
+                return DB.dit_block_fused(
+                    x, lens, self.norm1.scale, self.norm1.bias,
+                    wqkv.astype(x.dtype),
+                    self.to_out.kernel.astype(x.dtype), self.to_out.bias,
+                    self.norm3.scale, self.norm3.bias,
+                    self.ff_in.kernel.astype(x.dtype), self.ff_in.bias,
+                    self.ff_out.kernel.astype(x.dtype), self.ff_out.bias,
+                    sm_scale=1.0 / float(np.sqrt(self.head_dim)),
+                    heads=self.heads, head_dim=self.head_dim)
+        h = self.norm1(x)
+        qkv = h @ jnp.concatenate([self.wq, self.wk, self.wv], axis=1
+                                  ).astype(h.dtype)
         if pad_mask is not None:
             from cosyvoice_tpu.ops.pallas.dit_attention import (
                 dit_attention_packed, supports)
@@ -228,11 +282,11 @@ class DiTBlock(nn.Module):
                 scores = scores + attn_bias[:, None, :, :]
             attn = jax.nn.softmax(scores, axis=-1)
             o = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, T, inner)
-        x = x + nn.Dense(self.dim, name="to_out")(o)
-        h = ELayerNorm(fused=self.fused_norm, name="norm3")(x)
-        h = nn.Dense(self.dim * self.ff_mult, name="ff_in")(h)
+        x = x + self.to_out(o)
+        h = self.norm3(x)
+        h = self.ff_in(h)
         h = jax.nn.gelu(h, approximate=self.approx_gelu)
-        x = x + nn.Dense(self.dim, name="ff_out")(h)
+        x = x + self.ff_out(h)
         return x
 
 
@@ -270,6 +324,11 @@ class EstimatorConfig:
     # instead of XLA's several (ops/pallas/fused_norm.py).  Forward-only;
     # numerics match flax LayerNorm's fp32 fast-variance formula.
     fused_norm: bool = False
+    # serving: run each whole DiT block as ONE Pallas kernel
+    # (ops/pallas/dit_block.py — no qkv/attn-out/FFN-mid HBM round trips,
+    # VMEM-resident weights).  Takes effect on the fused_attention fast path
+    # with approx_gelu; forward-only.
+    fused_block: bool = False
 
 
 class Downsample1D(nn.Module):
@@ -373,6 +432,7 @@ class ConditionalDecoder(nn.Module):
                 h = DiTBlock(ch, cfg.num_heads, cfg.attention_head_dim,
                              approx_gelu=cfg.approx_gelu,
                              fused_norm=cfg.fused_norm,
+                             fused_block=cfg.fused_block,
                              name=f"{name}_tb_{j}")(h, attn_bias, pm)
             return h
 

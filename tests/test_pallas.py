@@ -171,3 +171,40 @@ def test_dit_attention_packed_matches_unpacked(rng):
     got = dit_attention_packed(qkv, lens, 0.125, head_dim=D, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_dit_block_fused_matches_unfused(rng):
+    """The whole-DiT-block fused kernel (ops/pallas/dit_block.py, serving
+    fast path) == the unfused DiTBlock with the exact -inf pad mask, per
+    valid row, in interpret mode.  Ragged lengths included."""
+    from cosyvoice_tpu.models.flow import DiTBlock
+    from cosyvoice_tpu.ops.masks import NEG_INF
+    from cosyvoice_tpu.ops.pallas.dit_block import dit_block_fused, supports
+
+    B, T, H, D = 3, 256, 2, 64
+    DIM = 128
+    assert supports(T, H, D, DIM, 4 * DIM)
+    x = jnp.asarray(rng.standard_normal((B, T, DIM)) * 0.5, jnp.float32)
+    lens = jnp.asarray([200, 256, 100], jnp.int32)
+    pm = jnp.asarray(jnp.arange(T)[None, :] < lens[:, None], jnp.float32)
+
+    blk = DiTBlock(DIM, H, D, ff_mult=4, approx_gelu=True)
+    params = blk.init(jax.random.PRNGKey(0), x[:1], None, None)
+    params = jax.tree.map(
+        lambda v: jnp.asarray(rng.standard_normal(v.shape) * 0.1, v.dtype),
+        params)
+    p = params["params"]
+    wqkv = jnp.concatenate([p["to_q"], p["to_k"], p["to_v"]], axis=1)
+    attn_bias = jnp.where(pm[:, None, :] > 0, 0.0, NEG_INF)
+    want = blk.apply(params, x, attn_bias, None)
+    got = dit_block_fused(
+        x, lens, p["norm1"]["scale"], p["norm1"]["bias"], wqkv,
+        p["to_out"]["kernel"], p["to_out"]["bias"],
+        p["norm3"]["scale"], p["norm3"]["bias"],
+        p["ff_in"]["kernel"], p["ff_in"]["bias"],
+        p["ff_out"]["kernel"], p["ff_out"]["bias"],
+        sm_scale=1.0 / np.sqrt(D), heads=H, head_dim=D, interpret=True)
+    for b in range(B):
+        n = int(lens[b])
+        np.testing.assert_allclose(np.asarray(got[b, :n]),
+                                   np.asarray(want[b, :n]), atol=2e-5)
