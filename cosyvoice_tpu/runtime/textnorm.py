@@ -95,11 +95,12 @@ def spell_out_number(text: str) -> str:
 # self-contained normalizer for the high-frequency cases: cardinals,
 # decimals (incl. negatives), percents, fractions, currency (¥/$/€/元),
 # measure words/units (km, kg, °C, ...), dates (2024-05-01, 2024年5月1日),
-# clock times (12:30, 12:30:05), years, and phone-like digit strings.
+# clock times (12:30, 12:30:05), years, phone-like digit strings, and the
+# idiomatic 两/二 rules (两千/两万/两亿, 两点 hours, 2+measure-word -> 两个).
 # DOCUMENTED GAPS vs WeTextProcessing (plug a full TN model via
 # CosyVoiceFrontEnd text_normalizer= for production zh):
-#   * polyphone disambiguation and erhua/retroflex handling
-#   * idiomatic classifier insertion (两 vs 二 context rules)
+#   * polyphone disambiguation and erhua/retroflex handling (needs a
+#     pronunciation lexicon, which this image does not ship)
 
 _ZH_DIG = "零一二三四五六七八九"
 _ZH_UNITS = ["", "十", "百", "千"]
@@ -107,7 +108,10 @@ _ZH_GROUPS = ["", "万", "亿", "万亿", "亿亿"]
 
 
 def _zh_group4(n: int) -> str:
-    """0 < n < 10000 -> Chinese reading (no leading-zero handling)."""
+    """0 < n < 10000 -> Chinese reading (no leading-zero handling).
+    Idiomatic 两: digit 2 at the 千 position reads 两千 (2345 ->
+    两千三百四十五), matching WeTextProcessing's cardinal verbalizer;
+    二十/二百 keep 二."""
     out = []
     zero_pending = False
     for pos in range(3, -1, -1):
@@ -119,7 +123,8 @@ def _zh_group4(n: int) -> str:
         if zero_pending:
             out.append("零")
             zero_pending = False
-        out.append(_ZH_DIG[d] + _ZH_UNITS[pos])
+        dig = "两" if (d == 2 and pos == 3) else _ZH_DIG[d]
+        out.append(dig + _ZH_UNITS[pos])
     return "".join(out)
 
 
@@ -136,7 +141,9 @@ def zh_cardinal(num_str: str) -> str:
     while n > 0:
         n, g = divmod(n, 10000)
         if g:
-            txt = _zh_group4(g) + _ZH_GROUPS[gi]
+            # a whole group of exactly 2 before 万/亿 reads 两 (两万, 两亿)
+            body = "两" if (g == 2 and gi > 0) else _zh_group4(g)
+            txt = body + _ZH_GROUPS[gi]
             if g < 1000 and n > 0:
                 # leading zeros inside this 4-digit slot: 10086 -> 一万零八十六
                 txt = "零" + txt
@@ -174,6 +181,15 @@ _ZH_UNIT_WORDS = [
 ]
 _ZH_UNIT_RE = "|".join(re.escape(u) for u, _ in _ZH_UNIT_WORDS)
 _ZH_CURRENCY = {"¥": "元", "￥": "元", "$": "美元", "€": "欧元", "£": "英镑"}
+# measure words that turn a bare count of 2 into 两 (两个/两张/两天...)
+_ZH_MEASURE = set("个只条张本位次件名岁层间家辆瓶杯台倍天年月周块根座对双份"
+                  "颗粒句段页行排组批幅首门节课顿棵株封盒袋箱截面项分秒"
+                  "千万亿")  # mixed-script magnitudes: 2万 -> 两万, 2亿 -> 两亿
+
+
+def _zh_count(num_str: str) -> str:
+    """Count reading before a measure word / unit: bare 2 -> 两."""
+    return "两" if num_str == "2" else _zh_number(num_str)
 
 
 def zh_spell_numbers(text: str) -> str:
@@ -190,7 +206,8 @@ def zh_spell_numbers(text: str) -> str:
     # clock times: 12:30 / 12:30:05 -> 十二点三十分 / ...零五秒; :00 -> 点整
     def clock(m):
         h, mi = int(m.group(1)), int(m.group(2))
-        out = zh_cardinal(str(h)) + "点"
+        # idiomatic hour-2: 2:30 reads 两点三十分, never 二点
+        out = ("两" if h == 2 else zh_cardinal(str(h))) + "点"
         out += ("整" if mi == 0 and not m.group(3)
                 else zh_cardinal(str(mi)) + "分")
         if m.group(3):
@@ -213,12 +230,12 @@ def zh_spell_numbers(text: str) -> str:
                   text)
     # currency: ¥100 / $5.5 -> 一百元 / 五点五美元
     def cur(m):
-        return _zh_number(m.group(2)) + _ZH_CURRENCY[m.group(1)]
+        return _zh_count(m.group(2)) + _ZH_CURRENCY[m.group(1)]
 
     text = re.sub(rf"([¥￥$€£])({num})", cur, text)
-    # measure words/units: 5km -> 五公里, -3°C -> 负三摄氏度
+    # measure words/units: 5km -> 五公里, -3°C -> 负三摄氏度, 2km -> 两公里
     text = re.sub(rf"({num})({_ZH_UNIT_RE})(?![A-Za-z])",
-                  lambda m: _zh_number(m.group(1))
+                  lambda m: _zh_count(m.group(1))
                   + dict(_ZH_UNIT_WORDS)[m.group(2)], text)
     # 4-digit years before 年 read digit-by-digit
     text = re.sub(r"(\d{4})(?=年)", lambda m: zh_digits(m.group(1)), text)
@@ -226,8 +243,15 @@ def zh_spell_numbers(text: str) -> str:
     text = re.sub(r"\d{10,}", lambda m: zh_digits(m.group()), text)
     # decimals (signed): -3.14 -> 负三点一四
     text = re.sub(r"-?\d+\.\d+", lambda m: _zh_number(m.group()), text)
-    # remaining integers -> cardinals (负 for a leading minus sign)
-    text = re.sub(r"-?\d+", lambda m: _zh_number(m.group()), text)
+    # remaining integers -> cardinals (负 for a leading minus sign); a bare
+    # count of 2 before a measure word reads 两 (WeTextProcessing's
+    # classifier rule: 2个月 -> 两个月, never 二个月)
+    def integer(m):
+        if m.group() == "2" and m.string[m.end(): m.end() + 1] in _ZH_MEASURE:
+            return "两"
+        return _zh_number(m.group())
+
+    text = re.sub(r"-?\d+", integer, text)
     return text
 
 

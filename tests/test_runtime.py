@@ -483,6 +483,17 @@ def test_zh_textnorm_golden():
         "有1/2的概率": "有二分之一的概率",
         # percents with sign
         "下降-3.5%": "下降负百分之三点五",
+        # idiomatic 两/二 (WeTextProcessing classifier rules)
+        "住了2天": "住了两天",
+        "买2本书": "买两本书",
+        "等2分钟": "等两分钟",
+        "走了2km": "走了两公里",
+        "2000人参加": "两千人参加",
+        "价值20000元": "价值两万元",
+        "全国2亿人": "全国两亿人",
+        "共2345元": "共两千三百四十五元",
+        "二十岁的22人": "二十岁的二十二人",  # 22 keeps 二十二
+        "2:30开会": "两点三十分开会",
     }
     for src, want in golden.items():
         assert tn.zh_spell_numbers(src) == want, (src, tn.zh_spell_numbers(src))
