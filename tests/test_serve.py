@@ -144,3 +144,18 @@ def test_vc_endpoint(server):
     assert r.status == 200
     sr, pcm = _parse_wav(r.read())
     assert sr == 2304 and pcm.size > 0
+
+
+def test_warmup_runs_on_tiny_model():
+    """serve.warmup drives one synthetic zero-shot streaming request through
+    the full stack (the cold-start precompile path) and never raises."""
+    from cosyvoice_tpu.bin.serve import warmup
+
+    fe = CosyVoiceFrontEnd(
+        tokenizer=ByteTokenizer(),
+        speech_tokenizer=lambda wav: np.arange(10) % SPEECH_VOCAB,
+        spk_embedder=lambda wav: np.ones(24, np.float32),
+        sample_rate=2304, n_mels=N_MEL, mel_n_fft=96, mel_hop=48)
+    cv = CosyVoice2(frontend=fe, model=build_tiny_stack(), sample_rate=2304)
+    dt = warmup(cv)
+    assert dt > 0
