@@ -352,7 +352,7 @@ def main():
     # (round-1 VERDICT #4: serving-side streaming throughput + TTFB under
     # load).  8 sessions share the slot engine; chunk jobs flush as ragged
     # batched flow calls.
-    engine_x = engine_ttfb_ms = 0.0
+    engine_x = engine_ttfb_ms = engine16_x = engine16_ttfb_ms = 0.0
     if only in ("", "engine"):
         import dataclasses as _dc2
 
@@ -367,37 +367,41 @@ def main():
         emodel = _CV2(llm=Qwen2LM(lm_cfg_eng), flow=flow, hift=hift,
                       llm_params=llm_params, flow_params=flow_params,
                       hift_params=hift_params, max_decode_tokens=etokens)
-        n_sessions = 8
-        reqs = [TTSRequest(text_tokens=np.asarray(text1[0]),
-                           prompt_text_len=0,
-                           prompt_speech_tokens=np.asarray(psp1[0]),
-                           prompt_feat=np.asarray(prompt_feat1[0]),
-                           embedding=np.asarray(emb1[0]))
-                for _ in range(n_sessions)]
-        synth = ContinuousSynthesizer(emodel, num_slots=n_sessions,
-                                      cache_len=((2 + 25 + 50 + etokens + 127)
-                                                 // 128) * 128,
-                                      max_out=etokens)
+        def engine_measure(n_sessions):
+            reqs = [TTSRequest(text_tokens=np.asarray(text1[0]),
+                               prompt_text_len=0,
+                               prompt_speech_tokens=np.asarray(psp1[0]),
+                               prompt_feat=np.asarray(prompt_feat1[0]),
+                               embedding=np.asarray(emb1[0]))
+                    for _ in range(n_sessions)]
+            synth = ContinuousSynthesizer(
+                emodel, num_slots=n_sessions,
+                cache_len=((2 + 25 + 50 + etokens + 127) // 128) * 128,
+                max_out=etokens)
 
-        def engine_run(seed):
-            first = {}
-            t0 = time.time()
+            def engine_run(seed):
+                first = {}
+                t0 = time.time()
 
-            def on_chunk(idx, wav, final):
-                first.setdefault(idx, time.time() - t0)
+                def on_chunk(idx, wav, final):
+                    first.setdefault(idx, time.time() - t0)
 
-            got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(seed),
-                                         on_chunk=on_chunk)
-            dt = time.time() - t0
-            audio = sum(len(g) for g in got) / 24000.0
-            return audio / dt, float(np.mean(list(first.values()))) * 1000.0
+                got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(seed),
+                                             on_chunk=on_chunk)
+                dt = time.time() - t0
+                audio = sum(len(g) for g in got) / 24000.0
+                return audio / dt, float(np.mean(list(first.values()))) * 1000.0
 
-        log(f"engine {n_sessions}-stream: warmup/compile...")
-        engine_run(0)
-        xs, tt = zip(*(engine_run(i + 1) for i in range(2)))
-        engine_x, engine_ttfb_ms = max(xs), min(tt)
-        log(f"engine {n_sessions}-stream: {engine_x:.1f}x realtime aggregate, "
-            f"mean TTFB {engine_ttfb_ms:.0f} ms")
+            log(f"engine {n_sessions}-stream: warmup/compile...")
+            engine_run(0)
+            xs, tt = zip(*(engine_run(i + 1) for i in range(2)))
+            log(f"engine {n_sessions}-stream: {max(xs):.1f}x realtime "
+                f"aggregate, mean TTFB {min(tt):.0f} ms")
+            return max(xs), min(tt)
+
+        engine_x, engine_ttfb_ms = engine_measure(8)
+        # scale story: flow chunk groups batch wider with more live sessions
+        engine16_x, engine16_ttfb_ms = engine_measure(16)
 
     # ---- training throughput (round-2 VERDICT #4: BASELINE's scaling axis
     # had zero training numbers): one-chip LLM + flow train steps at
@@ -430,15 +434,20 @@ def main():
         step_llm = make_train_step(llm_loss_fn(llm_tr), tx, donate=False)
         st = make_train_state(llm_tr_params, tx)
         log("train llm: warmup/compile...")
-        st, _ = step_llm(st, batch_llm, jax.random.PRNGKey(0))
-        jax.block_until_ready(st.params)
-        times = []
-        for i in range(3):
+
+        def run_steps(step_fn, st0, batch, n=5):
+            """n chained steps, ONE host read at the end (block_until_ready
+            does not observably wait through the remote tunnel)."""
+            st = st0
             t0 = time.time()
-            st, metrics = step_llm(st, batch_llm, jax.random.PRNGKey(i))
-            jax.block_until_ready(st.params)
-            times.append(time.time() - t0)
-        dt = min(times)
+            for i in range(n):
+                st, metrics = step_fn(st, batch, jax.random.PRNGKey(i))
+            loss = float(metrics["loss"])
+            return (time.time() - t0) / n, st, loss
+
+        run_steps(step_llm, st, batch_llm, n=1)   # warmup/compile
+        dt, st, loss = run_steps(step_llm, st, batch_llm)
+        assert np.isfinite(loss), loss
         n_par = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(llm_tr_params))
         toks = Bt * (Tt + Ts + 2)
         train_llm_tok_s = toks / dt
@@ -446,9 +455,14 @@ def main():
         log(f"train llm (bs {Bt}, seq {Tt}+{Ts}): {dt*1e3:.0f} ms/step, "
             f"{train_llm_tok_s:.0f} tok/s, MFU {train_llm_mfu*100:.0f}% "
             f"({n_par/1e6:.0f}M params)")
-        del st, llm_tr_params
+        del st, llm_tr_params, step_llm
+        import gc
+        gc.collect()
 
-        Bf, Ttok = 8, 400
+        # the reference's dynamic batch caps at 2000 mel frames
+        # (conf/cosyvoice.yaml:137-139) — B=2 x 1000 frames is the
+        # production-sized flow step
+        Bf, Ttok = 2, 500
         Tmel = 2 * Ttok
         batch_flow = {
             "speech_token": jnp.asarray(rng.integers(0, 6561, (Bf, Ttok))),
@@ -458,18 +472,18 @@ def main():
             "speech_feat_len": jnp.full((Bf,), Tmel, jnp.int32),
             "embedding": jnp.asarray(
                 rng.standard_normal((Bf, 192)).astype(np.float32))}
-        step_flow = make_train_step(flow_loss_fn(flow), tx, donate=False)
-        stf = make_train_state(flow_params, tx)
+        # training runs the reference-faithful fp32 graph (the serving
+        # fast-path kernels — fused norm/attention — are forward-only)
+        flow_tr = CausalMaskedDiffWithXvec(FlowConfig())
+        flow_tr_params = rand_params(lambda: flow_tr.init(
+            k, psp1, jnp.asarray([50]), jnp.zeros((1, 20, 80)),
+            jnp.zeros((1, 192)), method=CausalMaskedDiffWithXvec.inference))
+        step_flow = make_train_step(flow_loss_fn(flow_tr), tx, donate=False)
+        stf = make_train_state(flow_tr_params, tx)
         log("train flow: warmup/compile...")
-        stf, _ = step_flow(stf, batch_flow, jax.random.PRNGKey(0))
-        jax.block_until_ready(stf.params)
-        times = []
-        for i in range(3):
-            t0 = time.time()
-            stf, _ = step_flow(stf, batch_flow, jax.random.PRNGKey(i))
-            jax.block_until_ready(stf.params)
-            times.append(time.time() - t0)
-        dtf = min(times)
+        run_steps(step_flow, stf, batch_flow, n=1)  # warmup/compile
+        dtf, stf, lossf = run_steps(step_flow, stf, batch_flow)
+        assert np.isfinite(lossf), lossf
         train_flow_frames_s = Bf * Tmel / dtf
         log(f"train flow (bs {Bf}, {Tmel} mel frames/utt): "
             f"{dtf*1e3:.0f} ms/step, {train_flow_frames_s:.0f} mel frames/s")
@@ -505,6 +519,8 @@ def main():
         "stream_rt_x": round(stream_rt, 2),
         "engine_8stream_x": round(engine_x, 2),
         "engine_ttfb_ms": round(engine_ttfb_ms, 1),
+        "engine_16stream_x": round(engine16_x, 2),
+        "engine_16stream_ttfb_ms": round(engine16_ttfb_ms, 1),
         "train_llm_tok_s": round(train_llm_tok_s, 1),
         "train_llm_mfu": round(train_llm_mfu, 3),
         "train_flow_frames_s": round(train_flow_frames_s, 1)}))
