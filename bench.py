@@ -360,7 +360,7 @@ def main():
         from cosyvoice_tpu.runtime.serving import (ContinuousSynthesizer,
                                                    TTSRequest)
 
-        etokens = 150
+        etokens = int(os.environ.get("BENCH_ENGINE_TOKENS", "150"))
         eratio = etokens / 25.0
         lm_cfg_eng = _dc2.replace(lm_cfg, min_token_text_ratio=eratio,
                                   max_token_text_ratio=eratio)
@@ -399,9 +399,13 @@ def main():
                 f"aggregate, mean TTFB {min(tt):.0f} ms")
             return max(xs), min(tt)
 
-        engine_x, engine_ttfb_ms = engine_measure(8)
-        # scale story: flow chunk groups batch wider with more live sessions
-        engine16_x, engine16_ttfb_ms = engine_measure(16)
+        sess_override = int(os.environ.get("BENCH_ENGINE_SESSIONS", "0"))
+        if sess_override:  # profiling hook (tools/profile_engine.py)
+            engine_x, engine_ttfb_ms = engine_measure(sess_override)
+        else:
+            engine_x, engine_ttfb_ms = engine_measure(8)
+            # scale story: flow chunk groups batch wider with more sessions
+            engine16_x, engine16_ttfb_ms = engine_measure(16)
 
     # ---- training throughput (round-2 VERDICT #4: BASELINE's scaling axis
     # had zero training numbers): one-chip LLM + flow train steps at

@@ -223,6 +223,13 @@ def engine_decode_segment(model: Qwen2LM, params, state: EngineState,
     return jax.lax.while_loop(cond, body, state)
 
 
+@jax.jit
+def _pack_harvest(count, done, out):
+    """[S], [S] bool, [S, max_out] -> one [S, max_out + 2] int32 array."""
+    return jnp.concatenate([out, count[:, None],
+                            done.astype(jnp.int32)[:, None]], axis=1)
+
+
 # --------------------------------------------------------------------------
 # host scheduler
 # --------------------------------------------------------------------------
@@ -354,10 +361,14 @@ class ServingEngine:
 
         def harvest():
             """Blocks on the in-flight segment; streams new tokens, frees
-            finished slots."""
-            count = np.asarray(state.count)
-            done = np.asarray(state.done)
-            out = np.asarray(state.out)
+            finished slots.  count/done/out are packed into ONE array on
+            device first — through a remote-TPU tunnel each separate
+            device->host fetch costs a full round trip."""
+            packed = np.asarray(_pack_harvest(state.count, state.done,
+                                              state.out))
+            count = packed[:, -2]
+            done = packed[:, -1].astype(bool)
+            out = packed[:, :-2]
             for slot in list(slot_cb):
                 cb = slot_cb[slot]
                 c = int(count[slot])
