@@ -317,6 +317,12 @@ def main():
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the synthetic warmup request (first real "
                          "request then pays any remaining compiles)")
+    ap.add_argument("--flow-context-tokens", type=int, default=None,
+                    help="streaming flow context window in generated tokens "
+                         "(>= 53).  Bounds each chunk's flow cost — without "
+                         "it a stream's total flow work grows quadratically "
+                         "with its length (reference semantics).  Lossy "
+                         "only beyond the window; the prompt is always kept")
     args = ap.parse_args()
     # Warm server restarts: the persistent executable cache replaces the
     # reference's TensorRT engine-cache reload (cli/model.py:101-113) — a
@@ -330,7 +336,8 @@ def main():
     from cosyvoice_tpu.runtime.api import from_pretrained
 
     cv = from_pretrained(args.model_dir, fp16=args.fp16, quant=args.quant,
-                         max_decode_tokens=args.max_decode_tokens)
+                         max_decode_tokens=args.max_decode_tokens,
+                         flow_context_tokens=args.flow_context_tokens)
     if not args.no_warmup:
         warmup(cv)
     httpd = serve(cv, args.host, args.port, continuous=args.continuous,

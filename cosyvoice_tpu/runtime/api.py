@@ -125,7 +125,8 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
                     fp16: bool = False, quant: str = "none",
                     lm_cfg=None, flow_cfg=None, hift_cfg=None,
                     campplus_cfg=None, s3_cfg=None,
-                    reference_noise: bool = True) -> CosyVoice2:
+                    reference_noise: bool = True,
+                    flow_context_tokens: Optional[int] = None) -> CosyVoice2:
     """Assemble CosyVoice2 from a reference checkpoint directory
     (llm.pt / flow.pt / hift.pt + campplus.onnx + speech_tokenizer_v2.onnx
     + Qwen tokenizer assets), mirroring what `CosyVoice2.__init__` +
@@ -233,7 +234,11 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
         flow_params=flow_params,
         hift_params=hift_params,
         max_decode_tokens=max_decode_tokens,
-        flow_noise=flow_noise)
+        flow_noise=flow_noise,
+        # streaming flow context window (CosyVoice2Model doc): bounds each
+        # chunk's flow cost for long streams; None keeps the reference's
+        # full-prefix recompute semantics
+        flow_context_tokens=flow_context_tokens)
     tok = QwenTokenizer(tokenizer_path or os.path.join(model_dir, "CosyVoice-BlankEN"))
     spk2info = {}
     spk2info_npz = os.path.join(model_dir, "spk2info.npz")

@@ -122,6 +122,102 @@ def engine_admit_pho(model, params, state: EngineState, slot,
                            min_len, max_len)
 
 
+@partial(jax.jit, static_argnames=("model",), donate_argnames=("state",))
+def engine_admit_many(model: Qwen2LM, params, state: EngineState, slots,
+                      text, text_len, prompt_speech, prompt_speech_len,
+                      min_len, max_len) -> EngineState:
+    """Admit K requests in ONE jitted program (batched prefill + scatter
+    install).  slots [K] int32; text [K, Tt]; the rest [K]-vectors.
+
+    Sequential B=1 admits cost a full program dispatch each (~30 ms through
+    a remote tunnel); a burst of K arrivals pays that K times where one
+    batched prefill amortizes it — the same reason the one-shot path
+    prefills the whole batch at once.  Math per row is identical to
+    engine_admit; the rng chain is split ONCE per group (vs once per
+    sequential admit), so greedy decoding is unchanged while stochastic
+    draws differ in schedule only.  Compiles once per (K, Tt, Ts) bucket —
+    callers pad K to a small set of group sizes (duplicate rows aimed at the
+    same slot scatter identical values, so padding with copies of row 0 is
+    exact)."""
+    cls = type(model)
+    embeds, seq_len = model.apply(params, text, text_len,
+                                  prompt_speech, prompt_speech_len,
+                                  method=cls.prefill_embeds)
+    return _engine_install_many(model, params, state, slots, embeds, seq_len,
+                                min_len, max_len)
+
+
+@partial(jax.jit, static_argnames=("model",), donate_argnames=("state",))
+def engine_admit_many_pho(model, params, state: EngineState, slots,
+                          text, text_len, pho_token, pho_len,
+                          prompt_speech, prompt_speech_len, embedding,
+                          min_len, max_len) -> EngineState:
+    """Batched-admit twin of engine_admit_pho (phoneme-LM prefix builder)."""
+    cls = type(model)
+    embeds, seq_len = model.apply(
+        params, text, text_len, pho_token, pho_len,
+        prompt_speech, prompt_speech_len, embedding,
+        method=cls.prefix_for_decode)
+    return _engine_install_many(model, params, state, slots, embeds, seq_len,
+                                min_len, max_len)
+
+
+def _engine_install_many(model, params, state: EngineState, slots, embeds,
+                         seq_len, min_len, max_len) -> EngineState:
+    """Batched admit tail: prefix K/V for K rows, scattered into `slots`,
+    first token sampled per row (same math as _engine_install)."""
+    cfg = model.cfg
+    cls = type(model)
+    K, Tp = embeds.shape[:2]
+    pcache = KVCache.create(cfg.qwen, K, Tp, dtype=embeds.dtype)
+    bias = causal_prefill_bias(Tp, Tp, seq_len, K, embeds.dtype)
+    positions = jnp.broadcast_to(jnp.arange(Tp)[None], (K, Tp))
+    hidden, pcache = model.apply(params, embeds, positions, bias, pcache,
+                                 method=cls.forward_hidden)
+    last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
+
+    if cfg.qwen.fused_cache_update:  # packed [S, Tmax, KH*D]
+        ins = lambda c, u: c.at[slots, :Tp, :].set(u)
+    else:                            # head-major [S, KH, Tmax, D]
+        ins = lambda c, u: c.at[slots, :, :Tp, :].set(u)
+    k = tuple(ins(c, u) for c, u in zip(state.cache.k, pcache.k))
+    v = tuple(ins(c, u) for c, u in zip(state.cache.v, pcache.v))
+
+    # first token per row, same math as _engine_install
+    win = cfg.sampling.win_size
+    logits = model.apply(params, last, method=cls.decode_logits)
+    logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
+    eos = cfg.eos_token
+    logp = jnp.where((0 < min_len)[:, None]
+                     & (jnp.arange(logp.shape[-1])[None] == eos),
+                     NEG_INF, logp)
+    rng, kk = jax.random.split(state.rng)
+    tok0 = _sample(cfg.sampling, kk, logp,
+                   jnp.zeros((K, win), jnp.int32), jnp.zeros((K, win), bool))
+
+    emitted = tok0 < eos
+    new_emb = model.apply(params, tok0[:, None], method=cls.speech_emb)
+    prev_rows = jnp.where(emitted[:, None, None], new_emb,
+                          jnp.zeros_like(new_emb))
+    tok_emit = jnp.where(emitted, tok0, 0)
+    out_rows = jnp.zeros((K, state.out.shape[1]), jnp.int32
+                         ).at[:, 0].set(tok_emit)
+    rec_rows = jnp.zeros((K, win), jnp.int32).at[:, win - 1].set(tok_emit)
+    return state._replace(
+        cache=KVCache(k, v, state.cache.pos.at[slots].set(seq_len)),
+        prev_emb=state.prev_emb.at[slots].set(
+            prev_rows.astype(state.prev_emb.dtype)),
+        step=state.step.at[slots].set(1),
+        count=state.count.at[slots].set(emitted.astype(jnp.int32)),
+        done=state.done.at[slots].set((tok0 == eos) | (1 >= max_len)),
+        out=state.out.at[slots].set(out_rows),
+        recent=state.recent.at[slots].set(rec_rows),
+        recent_n=state.recent_n.at[slots].set(emitted.astype(jnp.int32)),
+        min_len=state.min_len.at[slots].set(min_len),
+        max_len=state.max_len.at[slots].set(max_len),
+        rng=rng)
+
+
 def _engine_install(model, params, state: EngineState, slot, embeds, seq_len,
                     min_len, max_len) -> EngineState:
     """Shared admit tail: run the prefix through the body into a small
@@ -295,7 +391,8 @@ class ServingEngine:
         free = list(range(self.num_slots))[::-1]
         stopping = False
 
-        def admit(slot: int, r: GenRequest, cb: Callable):
+        def prep(r: GenRequest) -> dict:
+            """Bucket/pad one request's host arrays + derive min/max lens."""
             tt = np.asarray(r.text, np.int32)
             ps = np.asarray(r.prompt_speech, np.int32)
             ntl = r.new_text_len if r.new_text_len is not None else len(tt)
@@ -317,26 +414,76 @@ class ServingEngine:
             text[:len(tt)] = tt
             psp = np.zeros(Ts, np.int32)
             psp[:len(ps)] = ps
-            slot_cb[slot] = cb
-            seen[slot] = 0
+            pho_pad = pho_len = emb = None
             if r.pho_token is not None:
                 pho = np.asarray(r.pho_token, np.int32)
-                Tp = round_up(max(len(pho), 1), self.text_bucket)
                 pho_pad = np.zeros((Tp, pho.shape[1]), np.int32)
                 pho_pad[:len(pho)] = pho
+                pho_len = len(pho)
+                emb = np.asarray(r.embedding, np.float32)
+            return dict(text=text, tlen=len(tt), psp=psp, plen=len(ps),
+                        pho=pho_pad, pho_len=pho_len, emb=emb, mn=mn, mx=mx,
+                        key=(Tt, Ts, Tp if pho_pad is not None else -1))
+
+        def dispatch_one(slot: int, p: dict) -> EngineState:
+            a = jnp.asarray
+            if p["pho"] is not None:
                 return engine_admit_pho(
-                    self.model, self.params, state,
-                    jnp.asarray(slot, jnp.int32), jnp.asarray(text),
-                    jnp.asarray(len(tt), jnp.int32), jnp.asarray(pho_pad),
-                    jnp.asarray(len(pho), jnp.int32), jnp.asarray(psp),
-                    jnp.asarray(len(ps), jnp.int32),
-                    jnp.asarray(np.asarray(r.embedding, np.float32)),
-                    jnp.asarray(mn, jnp.int32), jnp.asarray(mx, jnp.int32))
+                    self.model, self.params, state, a(slot, jnp.int32),
+                    a(p["text"]), a(p["tlen"], jnp.int32), a(p["pho"]),
+                    a(p["pho_len"], jnp.int32), a(p["psp"]),
+                    a(p["plen"], jnp.int32), a(p["emb"]),
+                    a(p["mn"], jnp.int32), a(p["mx"], jnp.int32))
             return engine_admit(self.model, self.params, state,
-                                jnp.asarray(slot, jnp.int32), jnp.asarray(text),
-                                jnp.asarray(len(tt), jnp.int32), jnp.asarray(psp),
-                                jnp.asarray(len(ps), jnp.int32),
-                                jnp.asarray(mn, jnp.int32), jnp.asarray(mx, jnp.int32))
+                                a(slot, jnp.int32), a(p["text"]),
+                                a(p["tlen"], jnp.int32), a(p["psp"]),
+                                a(p["plen"], jnp.int32),
+                                a(p["mn"], jnp.int32), a(p["mx"], jnp.int32))
+
+        def dispatch_many(slots: list, ps: list) -> EngineState:
+            """One batched-admit program for a same-bucket group.  K is
+            padded to the next power of two with copies of row 0 aimed at
+            slots[0] (identical scattered values — exact), bounding compile
+            variants to log2 group sizes."""
+            K = len(ps)
+            Kp = 1 << (K - 1).bit_length()
+            rows = ps + [ps[0]] * (Kp - K)
+            sl = np.asarray(slots + [slots[0]] * (Kp - K), np.int32)
+            a = jnp.asarray
+            text = a(np.stack([q["text"] for q in rows]))
+            tlen = a(np.asarray([q["tlen"] for q in rows], np.int32))
+            psp = a(np.stack([q["psp"] for q in rows]))
+            plen = a(np.asarray([q["plen"] for q in rows], np.int32))
+            mn = a(np.asarray([q["mn"] for q in rows], np.int32))
+            mx = a(np.asarray([q["mx"] for q in rows], np.int32))
+            if rows[0]["pho"] is not None:
+                pho = a(np.stack([q["pho"] for q in rows]))
+                pho_len = a(np.asarray([q["pho_len"] for q in rows], np.int32))
+                emb = a(np.stack([q["emb"] for q in rows]))
+                return engine_admit_many_pho(
+                    self.model, self.params, state, a(sl), text, tlen,
+                    pho, pho_len, psp, plen, emb, mn, mx)
+            return engine_admit_many(self.model, self.params, state, a(sl),
+                                     text, tlen, psp, plen, mn, mx)
+
+        def admit_all(items: list) -> None:
+            """Admit a burst: same-bucket requests share ONE batched-admit
+            program; singletons fall back to the B=1 program."""
+            nonlocal state
+            from collections import defaultdict
+            groups: dict = defaultdict(list)
+            for r, cb in items:
+                p = prep(r)
+                groups[p["key"]].append((p, cb))
+            for members in groups.values():
+                slots = [free.pop() for _ in members]
+                if len(members) == 1:
+                    state = dispatch_one(slots[0], members[0][0])
+                else:
+                    state = dispatch_many(slots, [p for p, _ in members])
+                for slot, (_, cb) in zip(slots, members):
+                    slot_cb[slot] = cb
+                    seen[slot] = 0
 
         def pull(block_idle: bool) -> bool:
             """Admit into free slots; returns True if anything was admitted.
@@ -344,20 +491,25 @@ class ServingEngine:
             inside the decode loop it must be False — consumer flushes
             (on_segment) are still pending there and blocking before them
             would stall the last chunks of a request until unrelated new
-            work arrived."""
+            work arrived.  All currently-available submissions are drained
+            FIRST, then admitted together (same-bucket ones in one batched
+            program) — a burst of K costs ~1 dispatch instead of K."""
             nonlocal state, stopping
-            admitted = False
-            while free and not stopping:
+            pending: list = []
+            while len(pending) < len(free) and not stopping:
                 try:
-                    item = submissions.get(block=block_idle and not slot_cb)
+                    item = submissions.get(
+                        block=block_idle and not slot_cb and not pending)
                 except queue.Empty:
-                    return admitted
+                    break
                 if item is None:
                     stopping = True
-                    return admitted
-                state = admit(free.pop(), *item)
-                admitted = True
-            return admitted
+                    break
+                pending.append(item)
+            if pending:
+                admit_all(pending)
+                return True
+            return False
 
         def harvest():
             """Blocks on the in-flight segment; streams new tokens, frees

@@ -74,6 +74,20 @@ class CosyVoice2Model:
     # wav is allclose to the reference (flow_matching.py:212-213,235).  None
     # falls back to the framework-seeded buffer (same distribution).
     flow_noise: Optional[np.ndarray] = None
+    # streaming flow context window, in GENERATED tokens.  None = exact
+    # reference semantics: every streaming chunk re-runs the flow over the
+    # FULL token prefix (reference cli/model.py token2wav passes the whole
+    # accumulated stream), so a stream's total flow work grows QUADRATICALLY
+    # with its length.  With W set, each streaming chunk keeps the prompt
+    # (speaker identity/prosody anchor) plus the last <= W+hop generated
+    # tokens — per-chunk flow cost is bounded and long-stream throughput is
+    # O(T).  Drop counts are quantized to hop multiples (stable compile
+    # shapes), the pinned noise buffer is re-indexed so every kept row keeps
+    # the noise it would get in the exact path's call layout, and the engine
+    # and sequential paths window identically, so their parity is preserved.
+    # Approximation vs the reference: context older than ~W tokens no longer
+    # conditions the current chunk (the prompt always does).  W >= hop+la.
+    flow_context_tokens: Optional[int] = None
 
     def __post_init__(self):
         if self.decode_buckets is None:
@@ -86,6 +100,19 @@ class CosyVoice2Model:
         self.token_hop_len = 2 * fr                  # 50
         self.pre_lookahead_len = self.flow.cfg.pre_lookahead_len  # 3
         self.ratio = self.flow.cfg.token_mel_ratio   # 2
+        if self.flow_context_tokens is not None:
+            need = self.token_hop_len + self.pre_lookahead_len
+            assert self.flow_context_tokens >= need, (
+                f"flow_context_tokens must cover one chunk+lookahead "
+                f"(>= {need}), got {self.flow_context_tokens}")
+            if self.flow_noise is None:
+                # windowed noise must be re-indexed per chunk, which needs an
+                # explicit buffer; the framework-seeded one IS what the CFM
+                # uses internally when noise=None, so behavior with d=0 drops
+                # is unchanged
+                from cosyvoice_tpu.models.flow import _fixed_noise
+                self.flow_noise = _fixed_noise(self.flow.cfg.cfm.noise_frames,
+                                               self.flow.cfg.output_size)
         self.mel_cache_len = 8
         self.hop_samples = self.hift.cfg.upsample_scale  # 480 @ 24 kHz v2
         self.source_cache_len = self.mel_cache_len * self.hop_samples
@@ -134,11 +161,56 @@ class CosyVoice2Model:
             wav, src = jax.vmap(one)(mel, keys)
             return wav[:, 0], src[:, 0]
 
+        # steady-state streaming vocode, whole group in ONE program: the
+        # per-session host prep (slice gen mel / concat mel cache / pad /
+        # stack / fold_in — ~4 small dispatches per session per chunk, real
+        # milliseconds through a remote tunnel) moves inside the jit.  Every
+        # non-final chunk has the same static window (hop+la)*ratio rows, so
+        # one compile covers the steady state; outputs equal mel2wav_group.
+        hop_samples = self.hop_samples
+        mel_cache_len = self.mel_cache_len
+        src_cache = self.source_cache_len
+
+        @partial(jax.jit, static_argnames=("win_rows", "cached"))
+        def _hift_stream_group(params, mel, rows, starts, cache_mel,
+                               cache_src, base_rng, ctrs, win_rows: int,
+                               cached: bool):
+            win = jax.vmap(lambda r, s: jax.lax.dynamic_slice(
+                mel, (r, s, 0), (1, win_rows, mel.shape[-1]))[0]
+            )(rows, starts)                                  # [K, win, 80]
+            win = win.astype(jnp.float32)
+            keys = jax.vmap(lambda c: jax.random.fold_in(base_rng, c))(ctrs)
+            if cached:
+                full = jnp.concatenate([cache_mel.astype(jnp.float32), win],
+                                       axis=1)               # [K, 8+win, 80]
+                n = (mel_cache_len + win_rows) * hop_samples
+
+                def one(m, cs, k):
+                    return hift_model.apply(params, m[None], cs[None, :, None],
+                                            rngs={"noise": k},
+                                            method=HiFTGenerator.inference)
+
+                wav, src = jax.vmap(one)(full, cache_src, keys)
+            else:
+                full = jnp.pad(win, ((0, 0), (0, mel_cache_len), (0, 0)))
+                n = win_rows * hop_samples
+
+                def one(m, k):
+                    return hift_model.apply(params, m[None],
+                                            rngs={"noise": k},
+                                            method=HiFTGenerator.inference)
+
+                wav, src = jax.vmap(one)(full, keys)
+            wav, src = wav[:, 0], src[:, 0]
+            return (wav[:, :n], win[:, -mel_cache_len:],
+                    src[:, n - src_cache: n, 0])
+
         self._flow_infer = _flow_infer
         self._hift_infer = _hift_infer
         self._hift_infer_nocache = _hift_infer_nocache
         self._hift_infer_group = _hift_infer_group
         self._hift_infer_group_nocache = _hift_infer_group_nocache
+        self._hift_stream_group = _hift_stream_group
         self._noise_rng = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
@@ -184,6 +256,34 @@ class CosyVoice2Model:
         self._warn_if_capped(int(count[0]), allowed, cap)
         return np.asarray(out[0][: int(count[0])])
 
+    def flow_window_drop(self, n_gen: int, token_offset: int) -> int:
+        """Generated tokens to DROP from the front of a streaming chunk's
+        flow context (0 without flow_context_tokens or for one-shot calls,
+        which have token_offset 0).  Quantized to hop multiples so the
+        bucketed call shapes stay stable; always <= token_offset, so the
+        emission region stays inside the window."""
+        W = self.flow_context_tokens
+        if W is None or token_offset == 0 or n_gen <= W:
+            return 0
+        return ((n_gen - W) // self.token_hop_len) * self.token_hop_len
+
+    def windowed_noise(self, pfl: int, drop: int, need: int) -> np.ndarray:
+        """Noise rows for a windowed flow call: the prompt region keeps rows
+        [0, pfl) and the generated window keeps the rows the EXACT path's
+        call layout would give those tokens — i.e. generated row i of the
+        window reads buffer row pfl + drop*ratio + i.  With drop=0 this is
+        the plain [:need] slice, so exact and windowed paths agree whenever
+        nothing is dropped."""
+        buf = self.flow_noise
+        d = drop * self.ratio
+        assert buf.shape[1] >= d + need, (
+            f"flow_noise buffer ({buf.shape[1]} frames) too short for "
+            f"window offset {d} + {need} mel frames")
+        if d == 0:
+            return buf[:, :need]
+        return np.concatenate([buf[:, :pfl], buf[:, pfl + d: d + need]],
+                              axis=1)
+
     def _flow_chunk(self, all_tokens, prompt_tokens, prompt_feat, embedding,
                     token_offset: int, streaming: bool, n_tokens=None):
         """flow over prompt ++ tokens (bucketed pad), mel sliced at offset.
@@ -194,25 +294,24 @@ class CosyVoice2Model:
         a DEVICE mel — streaming fetches only (count, done) and the final
         wav per chunk."""
         n_gen = n_tokens if n_tokens is not None else len(all_tokens)
+        drop = self.flow_window_drop(n_gen, token_offset)
         tok = jnp.concatenate([jnp.asarray(prompt_tokens, jnp.int32),
-                               jnp.asarray(all_tokens, jnp.int32)[:n_gen]])
-        n = len(prompt_tokens) + n_gen
+                               jnp.asarray(all_tokens, jnp.int32)[drop:n_gen]])
+        n = len(prompt_tokens) + n_gen - drop
         bucket = max(round_up(n, self.token_hop_len), self.token_hop_len)
         tok_pad = jnp.pad(tok, (0, bucket - n))
         noise = None
         if self.flow_noise is not None:
             need = self.ratio * bucket
-            assert self.flow_noise.shape[1] >= need, (
-                f"flow_noise buffer ({self.flow_noise.shape[1]} frames) too "
-                f"short for {need} mel frames")
-            noise = jnp.asarray(self.flow_noise[:, :need])
+            pfl = np.asarray(prompt_feat).shape[0]
+            noise = jnp.asarray(self.windowed_noise(pfl, drop, need))
         mel = self._flow_infer(self.flow_params, tok_pad[None],
                                jnp.asarray([n]), jnp.asarray(prompt_feat)[None],
                                jnp.asarray(embedding)[None], noise,
                                streaming=streaming)
         # valid generated mel: ratio * (n - len(prompt_tokens)); drop pad tail
         valid = self.ratio * (n - len(prompt_tokens))
-        return mel[0, token_offset * self.ratio: valid]  # device [frames, 80]
+        return mel[0, (token_offset - drop) * self.ratio: valid]
 
     def _vocode(self, mel, cache_source, rng, pad_to: Optional[int] = None):
         """HiFT over [frames, 80] mel (+ source splice); bucketed pad + slice.
@@ -333,6 +432,53 @@ class CosyVoice2Model:
                         "speech": wav[-self.source_cache_len:]}
                     wav = wav[: -self.source_cache_len]
                 results[i] = wav
+        return results
+
+    def mel2wav_stream_group(self, mel, rows, starts, sessions: list) -> list:
+        """Steady-state streaming vocode: every job is a NON-FINAL chunk with
+        the same static (hop+la)*ratio mel window, taken straight out of the
+        batched flow output `mel` [B, T, 80] at (rows[i], starts[i]).  The
+        whole group — window gather, mel-cache concat, per-session noise keys,
+        HiFT, cache tails — runs as ONE jitted program per {cached, fresh}
+        subset (vs ~4 host dispatches per session in mel2wav_group), then one
+        wav fetch.  Outputs EQUAL mel2wav_group on the same jobs."""
+        win_rows = (self.token_hop_len + self.pre_lookahead_len) * self.ratio
+        results: list = [None] * len(sessions)
+        subsets: dict = {True: [], False: []}
+        for i, session in enumerate(sessions):
+            subsets[session.get("hift") is not None].append(i)
+        for cached, idxs in subsets.items():
+            if not idxs:
+                continue
+            ctrs = []
+            for i in idxs:
+                s = sessions[i]
+                s["noise_ctr"] = s.get("noise_ctr", 0) + 1
+                ctrs.append(s["noise_ctr"])
+            r = jnp.asarray(np.asarray([rows[i] for i in idxs], np.int32))
+            st = jnp.asarray(np.asarray([starts[i] for i in idxs], np.int32))
+            if cached:
+                cm = jnp.stack([jnp.asarray(sessions[i]["hift"]["mel"])
+                                for i in idxs])
+                cs = jnp.stack([jnp.asarray(sessions[i]["hift"]["source"])
+                                for i in idxs])
+            else:
+                cm = jnp.zeros((len(idxs), self.mel_cache_len,
+                                self.flow.cfg.output_size), jnp.float32)
+                cs = jnp.zeros((len(idxs), self.source_cache_len), jnp.float32)
+            wav, mel_tail, src_tail = self._hift_stream_group(
+                self.hift_params, mel, r, st, cm, cs, self._noise_rng,
+                jnp.asarray(np.asarray(ctrs, np.int32)), win_rows, cached)
+            wav_h = np.asarray(wav)                     # ONE fetch per subset
+            for row, i in enumerate(idxs):
+                session = sessions[i]
+                w = wav_h[row]
+                if cached:
+                    w = self._fade(w, session["hift"]["speech"])
+                session["hift"] = {"mel": mel_tail[row],
+                                   "source": src_tail[row],
+                                   "speech": w[-self.source_cache_len:]}
+                results[i] = w[: -self.source_cache_len]
         return results
 
     def _fade(self, wav: np.ndarray, prev_tail: np.ndarray) -> np.ndarray:

@@ -251,10 +251,14 @@ class ContinuousSynthesizer:
         ratio = m.ratio
         n_mel = m.flow.cfg.output_size
         B = len(jobs)
-        tls, toks = [], []
+        tls, toks, drops = [], [], []
         for st, tok, off, fin in jobs:
             ps = st.req.prompt_speech_tokens
-            toks.append(np.concatenate([ps, tok]).astype(np.int32))
+            # context window (model.flow_context_tokens): same drop the
+            # sequential _flow_chunk computes, so the paths stay identical
+            d = m.flow_window_drop(len(tok), off)
+            drops.append(d)
+            toks.append(np.concatenate([ps, tok[d:]]).astype(np.int32))
             tls.append(len(toks[-1]))
         bucket = max(round_up(max(tls), m.token_hop_len), m.token_hop_len)
         tokm = np.zeros((B, bucket), np.int32)
@@ -267,21 +271,42 @@ class ContinuousSynthesizer:
             tokm[i, :tls[i]] = toks[i]
             pfl[i] = st.req.prompt_feat.shape[0]
             pf[i, :pfl[i]] = st.req.prompt_feat
+        if m.flow_noise is None:
+            noise = None
+        elif not any(drops):
+            noise = _noise_for(m, bucket)
+        else:
+            need = m.ratio * bucket
+            noise = jnp.asarray(np.concatenate(
+                [m.windowed_noise(int(pfl[i]), drops[i], need)
+                 for i in range(B)], axis=0))
         mel = self._flow_ragged(
             m.flow_params, jnp.asarray(tokm), jnp.asarray(tls, dtype=jnp.int32),
             jnp.asarray(pf), jnp.asarray(emb), jnp.asarray(pfl),
-            _noise_for(m, bucket), streaming=streaming)
-        gens, sessions, finals = [], [], []
-        for i, (st, tok, off, fin) in enumerate(jobs):
-            plen = len(st.req.prompt_speech_tokens)
-            start = int(pfl[i])
-            valid = ratio * (tls[i] - plen)
-            gens.append(mel[i, start + off * ratio: start + valid])
-            sessions.append(st.session)
-            finals.append(fin)
-        # grouped vocode: one dispatch + one wav fetch per shape group
-        # instead of a device round trip per session (mel stays on device)
-        wavs = m.mel2wav_group(gens, sessions, finals)
+            noise, streaming=streaming)
+        if (all(not j[3] for j in jobs)
+                and len({id(j[0].session) for j in jobs}) == len(jobs)):
+            # steady-state streaming group: every chunk is the same static
+            # (hop+la)*ratio window of its row — gather + cache splice +
+            # vocode run as ONE program (mel2wav_stream_group), no per-row
+            # mel slicing here
+            starts = [int(pfl[i]) + (off - drops[i]) * ratio
+                      for i, (_, _, off, _) in enumerate(jobs)]
+            wavs = m.mel2wav_stream_group(mel, list(range(B)), starts,
+                                          [j[0].session for j in jobs])
+        else:
+            gens, sessions, finals = [], [], []
+            for i, (st, tok, off, fin) in enumerate(jobs):
+                plen = len(st.req.prompt_speech_tokens)
+                start = int(pfl[i])
+                valid = ratio * (tls[i] - plen)
+                gens.append(mel[i, start + (off - drops[i]) * ratio:
+                                start + valid])
+                sessions.append(st.session)
+                finals.append(fin)
+            # grouped vocode: one dispatch + one wav fetch per shape group
+            # instead of a device round trip per session (mel stays on device)
+            wavs = m.mel2wav_group(gens, sessions, finals)
         for (st, tok, off, fin), wav in zip(jobs, wavs):
             emit(st, wav, fin)
 

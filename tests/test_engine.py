@@ -71,6 +71,36 @@ def test_engine_greedy_parity_mixed_lengths(fused):
         assert got[i].size and (got[i] < S).all()
 
 
+@pytest.mark.parametrize("n", [5, 8])  # 5 exercises pad-to-8 duplication
+def test_engine_burst_batched_admit_parity(n, monkeypatch):
+    """A same-bucket burst admits through ONE batched program
+    (engine_admit_many) — including the pad-to-power-of-two duplicate-row
+    path — and stays token-identical to lm_generate."""
+    import cosyvoice_tpu.runtime.engine as E
+
+    model, params = make_model(True)
+    calls = {"many": 0, "one": 0}
+    orig_many, orig_one = E.engine_admit_many, E.engine_admit
+
+    monkeypatch.setattr(E, "engine_admit_many", lambda *a, **k: (
+        calls.__setitem__("many", calls["many"] + 1), orig_many(*a, **k))[1])
+    monkeypatch.setattr(E, "engine_admit", lambda *a, **k: (
+        calls.__setitem__("one", calls["one"] + 1), orig_one(*a, **k))[1])
+
+    rng = np.random.default_rng(23)
+    reqs = [GenRequest(
+        text=rng.integers(0, TINY.vocab_size, 1 + i % 4).astype(np.int32),
+        prompt_speech=rng.integers(0, S, 1 + (i * 2) % 4).astype(np.int32))
+        for i in range(n)]
+    eng = ServingEngine(model, params, num_slots=8, cache_len=256, max_out=128,
+                        segment_steps=6, text_bucket=4, speech_bucket=4)
+    got = eng.generate(reqs, rng=jax.random.PRNGKey(9))
+    assert calls["many"] == 1 and calls["one"] == 0, calls
+    for i, r in enumerate(reqs):
+        want = reference_tokens(model, params, r, max_steps=128, cache_len=256)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"request {i}")
+
+
 def test_engine_more_requests_than_slots_all_finish():
     model, params = make_model(False)
     rng = np.random.default_rng(11)
@@ -142,6 +172,74 @@ def test_continuous_synthesizer_matches_sequential_stream(batch_chunks):
         # B=1 calls; tokens are exactly equal, wavs to fp tolerance
         np.testing.assert_allclose(got[i], want, atol=1e-4, rtol=1e-4,
                                    err_msg=f"request {i}")
+
+
+def test_flow_context_window_engine_matches_sequential():
+    """flow_context_tokens bounds every streaming chunk's flow call (the
+    exact path re-runs the whole prefix — quadratic in stream length) while
+    the continuous engine and the sequential tts() path stay wav-equal:
+    both window with the same drop rule and re-indexed pinned noise.  Also
+    checks the window actually drops context (call shapes bounded, audio
+    differs from the exact path once drops kick in)."""
+    from cosyvoice_tpu.models.llm import SamplingConfig as SC
+    from cosyvoice_tpu.runtime.serving import ContinuousSynthesizer, TTSRequest
+    from tests.test_runtime import SPEECH_VOCAB, N_MEL, build_tiny_stack
+
+    W = 16  # hop=2*fr=8, la=3 -> smallest legal window is 11
+    kw = dict(sampling=SC(method="greedy"), input_frame_rate=4,
+              max_decode_tokens=64)
+    m = build_tiny_stack(flow_context_tokens=W, **kw)
+    rng = np.random.default_rng(5)
+    for mm in (m,):
+        b = np.asarray(mm.llm_params["params"]["llm_decoder"]["bias"]).copy()
+        b[SPEECH_VOCAB:] = -30.0  # emit every step -> long streams
+        mm.llm_params["params"]["llm_decoder"]["bias"] = jnp.asarray(b)
+    reqs = [TTSRequest(
+        text_tokens=rng.integers(0, 300, n).astype(np.int32),
+        prompt_text_len=0,
+        prompt_speech_tokens=rng.integers(0, SPEECH_VOCAB, 4).astype(np.int32),
+        prompt_feat=rng.standard_normal((8, N_MEL)).astype(np.float32),
+        embedding=rng.standard_normal(24).astype(np.float32))
+        for n in (16, 14)]
+
+    synth = ContinuousSynthesizer(m, num_slots=2, cache_len=256,
+                                  max_out=m.max_decode_tokens,
+                                  text_bucket=16, speech_bucket=8)
+    buckets = []
+    inner = synth._flow_ragged
+    synth._flow_ragged = lambda p, tok, *a, **k: (
+        buckets.append(tok.shape[1]), inner(p, tok, *a, **k))[1]
+    got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(2))
+    # every engine flow call is bounded by prompt + W + hop-1 lookback +
+    # hop+la emission window, bucketed — NOT by the full stream length
+    cap = 4 + W + m.token_hop_len  # kept tokens <= W + hop - 1, +prompt
+    cap = ((cap + m.token_hop_len - 1) // m.token_hop_len) * m.token_hop_len
+    assert max(buckets) <= cap, (max(buckets), cap)
+
+    for i, r in enumerate(reqs):
+        want = np.concatenate([o["tts_speech"] for o in m.tts(
+            text_tokens=r.text_tokens, prompt_text_len=0,
+            llm_prompt_speech_token=r.prompt_speech_tokens,
+            flow_prompt_speech_token=r.prompt_speech_tokens,
+            prompt_speech_feat=r.prompt_feat, flow_embedding=r.embedding,
+            stream=True, rng=jax.random.PRNGKey(9))])
+        np.testing.assert_allclose(got[i], want, atol=1e-4, rtol=1e-4,
+                                   err_msg=f"request {i}")
+
+    # the lever is not a no-op: the exact model (same auto-pinned noise
+    # buffer) diverges once chunks start dropping context
+    m_exact = build_tiny_stack(flow_context_tokens=None, **kw)
+    m_exact.llm_params = m.llm_params
+    m_exact.flow_params, m_exact.hift_params = m.flow_params, m.hift_params
+    r = reqs[0]
+    exact = np.concatenate([o["tts_speech"] for o in m_exact.tts(
+        text_tokens=r.text_tokens, prompt_text_len=0,
+        llm_prompt_speech_token=r.prompt_speech_tokens,
+        flow_prompt_speech_token=r.prompt_speech_tokens,
+        prompt_speech_feat=r.prompt_feat, flow_embedding=r.embedding,
+        stream=True, rng=jax.random.PRNGKey(9))])
+    assert exact.shape == got[0].shape
+    assert not np.allclose(exact, got[0], atol=1e-4)
 
 
 def test_continuous_synthesizer_flow_on_second_device():

@@ -22,7 +22,9 @@ N_MEL = 16
 
 def build_tiny_stack(sampling: SamplingConfig = SamplingConfig(method="ras", top_k=5),
                      max_decode_tokens: int = 96,
-                     deterministic_hift: bool = False) -> CosyVoice2Model:
+                     deterministic_hift: bool = False,
+                     input_frame_rate: int = 25,
+                     flow_context_tokens=None) -> CosyVoice2Model:
     qwen = Qwen2Config(vocab_size=300, hidden_size=32, num_layers=2, num_heads=4,
                        num_kv_heads=2, head_dim=8, intermediate_size=64,
                        rope_theta=10000.0)
@@ -37,7 +39,8 @@ def build_tiny_stack(sampling: SamplingConfig = SamplingConfig(method="ras", top
                           num_heads=2, attention_head_dim=16)
     flow_cfg = FlowConfig(input_size=64, output_size=N_MEL, spk_embed_dim=24,
                           vocab_size=SPEECH_VOCAB + 3, encoder=enc,
-                          estimator=est, cfm=CFMConfig(noise_frames=4000))
+                          estimator=est, cfm=CFMConfig(noise_frames=4000),
+                          input_frame_rate=input_frame_rate)
     hift_cfg = HiFTConfig(in_channels=N_MEL, base_channels=32, nb_harmonics=2,
                           upsample_rates=(4, 3), upsample_kernel_sizes=(8, 7),
                           resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
@@ -57,7 +60,8 @@ def build_tiny_stack(sampling: SamplingConfig = SamplingConfig(method="ras", top
     hift_params = hift.init({"params": k, "noise": k}, jnp.zeros((1, 10, N_MEL)))
     return CosyVoice2Model(llm=llm, flow=flow, hift=hift, llm_params=llm_params,
                            flow_params=flow_params, hift_params=hift_params,
-                           max_decode_tokens=max_decode_tokens)
+                           max_decode_tokens=max_decode_tokens,
+                           flow_context_tokens=flow_context_tokens)
 
 
 @pytest.fixture(scope="module")

@@ -25,6 +25,7 @@ import jax.numpy as jnp  # noqa: E402
 
 PH = defaultdict(float)
 N = defaultdict(int)
+CALLS = defaultdict(list)   # per-call durations, to separate warmup compiles
 
 
 def _sync(x):
@@ -44,8 +45,10 @@ def install_probes():
         t0 = time.time()
         st = orig_seg(model, params, state, n_steps)
         _sync(st.count)
-        PH["decode_segment"] += time.time() - t0
+        dt = time.time() - t0
+        PH["decode_segment"] += dt
         N["decode_segment"] += 1
+        CALLS["decode_segment"].append(dt)
         return st
 
     E.engine_decode_segment = timed_seg
@@ -57,8 +60,10 @@ def install_probes():
             t0 = time.time()
             st = _orig(*a, **kw)
             _sync(st.count)
-            PH["admit"] += time.time() - t0
+            dt = time.time() - t0
+            PH["admit"] += dt
             N["admit"] += 1
+            CALLS["admit"].append(dt)
             return st
 
         setattr(E, name, timed_admit)
@@ -73,8 +78,10 @@ def install_probes():
                 t0 = time.time()
                 mel = inner(*a, **kw)
                 _sync(mel)
-                PH["flow_group"] += time.time() - t0
+                dt = time.time() - t0
+                PH["flow_group"] += dt
                 N["flow_group"] += 1
+                CALLS["flow_group"].append(dt)
                 PH["flow_rows"] += a[1].shape[0] * a[1].shape[1]
                 return mel
 
@@ -92,8 +99,10 @@ def install_probes():
     def timed_voc(self, *a, **kw):
         t0 = time.time()
         out = orig_voc(self, *a, **kw)
-        PH["vocode_group"] += time.time() - t0
+        dt = time.time() - t0
+        PH["vocode_group"] += dt
         N["vocode_group"] += 1
+        CALLS["vocode_group"].append(dt)
         return out
 
     CosyVoice2Model.mel2wav_group = timed_voc
@@ -134,6 +143,9 @@ def main():
     host = total - acct
     print(f"  flow rows processed: {int(PH.get('flow_rows', 0))} "
           f"(token-rows incl. pad)", file=sys.stderr)
+    for k, v in sorted(CALLS.items()):
+        pc = " ".join(f"{x * 1000:.0f}" for x in v)
+        print(f"  per-call ms {k}: {pc}", file=sys.stderr)
     print(f"  accounted device phases: {acct:.2f}s of {total:.2f}s total "
           f"(rest = host sched/python/init {host:.2f}s incl. param init)",
           file=sys.stderr)
