@@ -509,9 +509,15 @@ def main():
         log(f"stream B=1: TTFB {ttfb_ms:.0f} ms (budget 2000), "
             f"{stream_rt:.1f}x realtime streaming")
 
+    # metric string is GENERATED from the configs actually timed (round-3
+    # VERDICT weak #3: a hand-written label drifted from the code)
+    q_batch = lm_cfg.qwen.quant if on_tpu else "fp32"
+    q_single = lm_cfg_b1.qwen.quant if on_tpu else "fp32"
+    lm_lbl = (f"{q_batch} LM" if q_batch == q_single
+              else f"{q_batch} LM batch / {q_single} LM single")
     print(json.dumps({
         "metric": (f"full text->wav audio-seconds/s per chip "
-                   f"(int8 LM batch / int4 LM single, bf16 flow, "
+                   f"({lm_lbl}, bf16 flow, "
                    f"B={best_b} serving; 1-stream {results[1]:.1f}x)"),
         "value": round(value, 2), "unit": "audio_s/s",
         "vs_baseline": round(value / 50.0, 3),

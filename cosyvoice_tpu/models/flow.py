@@ -242,6 +242,11 @@ class DiTBlock(nn.Module):
 
             if DB.supports(T, self.heads, self.head_dim, self.dim,
                            self.dim * self.ff_mult):
+                # pad_mask MUST be prefix-contiguous (valid rows first): the
+                # fused block reduces it to per-row lengths and masks keys by
+                # j >= len only.  Every caller builds it from sequence
+                # lengths (ops/masks.py), so this holds by construction;
+                # test_dit_block_requires_prefix_mask guards the contract.
                 lens = jnp.sum((pad_mask > 0).astype(jnp.int32), axis=1)
                 wqkv = jnp.concatenate([self.wq, self.wk, self.wv], axis=1)
                 return DB.dit_block_fused(

@@ -61,20 +61,22 @@ def _unpack_nibbles(w_packed: jax.Array, dtype) -> tuple[jax.Array, jax.Array]:
 
 def int4_matmul_xla(x: jax.Array, w_packed: jax.Array,
                     scale: jax.Array) -> jax.Array:
-    """Exact twin of the Pallas kernel in plain XLA (materializes the
-    unpacked halves — correct everywhere, no bandwidth win).  x [..., in],
-    scale [n_groups, out]."""
+    """Twin of the Pallas kernel in plain XLA (materializes the unpacked
+    halves — correct everywhere, no bandwidth win).  x [..., in],
+    scale [n_groups, out].
+
+    Matches the kernel's math exactly: group scales applied WEIGHT-SIDE in
+    x.dtype (bf16 on TPU) before one full-depth f32-accumulated dot per
+    nibble half — so a QDense layer that routes prefill here and decode
+    through the kernel (models/qwen2.py) sees the same dequantized weights
+    on both paths (up to MXU accumulation order)."""
     lo, hi = _unpack_nibbles(w_packed, x.dtype)
     n_g = scale.shape[0]
     g2 = w_packed.shape[0] // n_g
+    sfull = jnp.repeat(scale.astype(x.dtype), g2, axis=0)  # [in/2, out]
     xe, xo = x[..., 0::2], x[..., 1::2]
-    acc = None
-    for gi in range(n_g):
-        sl = slice(gi * g2, (gi + 1) * g2)
-        a = jnp.dot(xe[..., sl], lo[sl], preferred_element_type=jnp.float32)
-        a += jnp.dot(xo[..., sl], hi[sl], preferred_element_type=jnp.float32)
-        a = a * scale[gi].astype(jnp.float32)
-        acc = a if acc is None else acc + a
+    acc = jnp.dot(xe, lo * sfull, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(xo, hi * sfull, preferred_element_type=jnp.float32)
     return acc.astype(x.dtype)
 
 

@@ -142,9 +142,14 @@ def from_pretrained(model_dir: str, tokenizer_path: Optional[str] = None,
     params + bf16 flow estimator with the fused-attention fast path.
     quant="int8" additionally stores the LM projection weights int8
     (weight-only, per-channel — utils/quant.py) to halve decode HBM traffic;
+    int8 is greedy-agreement-gated vs the fp path (tests/test_llm.py;
+    0.94 teacher-forced argmax agreement at the full 0.5B scale, bench.py).
     quant="int4" packs two weight rows per byte and decodes through the
-    Pallas dequant matmul (ops/pallas/int4_matmul.py), halving it again.
-    Both are greedy-agreement-gated vs the fp path (tests/test_llm.py).
+    Pallas dequant matmul (ops/pallas/int4_matmul.py) — EXPERIMENTAL: naive
+    RTN at 4 bits measures only 0.15 full-scale greedy agreement and the
+    B=1 decode stage is slower than int8 (per-call kernel overhead dominates
+    the saved bandwidth); use int8 unless you have validated int4 output
+    quality on your own checkpoint.
 
     The *_cfg keywords override the full-size default model configs (used by
     tests and downsized deployments).

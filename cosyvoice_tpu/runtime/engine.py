@@ -183,7 +183,14 @@ def _engine_install_many(model, params, state: EngineState, slots, embeds,
     k = tuple(ins(c, u) for c, u in zip(state.cache.k, pcache.k))
     v = tuple(ins(c, u) for c, u in zip(state.cache.v, pcache.v))
 
-    # first token per row, same math as _engine_install
+    # first token per row, same math as _engine_install.  The sample key is
+    # folded PER SLOT ID: callers pad the group to a bucket size with copies
+    # of row 0 aimed at slots[0], and under stochastic sampling (RAS) a
+    # shared key would give each duplicate row different bits — the ~10
+    # duplicate-index scatters below would then depend on XLA's unspecified
+    # duplicate-scatter ordering.  Same slot => same key => same draw, so
+    # every duplicate row scatters identical values and padding stays exact
+    # for ALL sampling methods, not just greedy.
     win = cfg.sampling.win_size
     logits = model.apply(params, last, method=cls.decode_logits)
     logp = jax.nn.log_softmax(logits[:, 0, :].astype(jnp.float32), axis=-1)
@@ -192,8 +199,11 @@ def _engine_install_many(model, params, state: EngineState, slots, embeds,
                      & (jnp.arange(logp.shape[-1])[None] == eos),
                      NEG_INF, logp)
     rng, kk = jax.random.split(state.rng)
-    tok0 = _sample(cfg.sampling, kk, logp,
-                   jnp.zeros((K, win), jnp.int32), jnp.zeros((K, win), bool))
+    keys = jax.vmap(lambda s: jax.random.fold_in(kk, s))(slots)
+    tok0 = jax.vmap(
+        lambda key, lp: _sample(cfg.sampling, key, lp[None],
+                                jnp.zeros((1, win), jnp.int32),
+                                jnp.zeros((1, win), bool))[0])(keys, logp)
 
     emitted = tok0 < eos
     new_emb = model.apply(params, tok0[:, None], method=cls.speech_emb)

@@ -358,7 +358,11 @@ class CosyVoice2Model:
             cache_source = None
         rng = _session_rng(self._noise_rng, session)
         if not finalize:
-            pad_to = self.mel_cache_len + (self.token_hop_len + self.pre_lookahead_len) * self.ratio
+            # max() admits progressive-hop chunks (> one base hop) while
+            # keeping the steady-state shape static per hop size
+            pad_to = max(self.mel_cache_len + (self.token_hop_len
+                                               + self.pre_lookahead_len)
+                         * self.ratio, mel.shape[0])
             wav, source = self._vocode(mel, cache_source, rng, pad_to=pad_to)
             wav = np.asarray(wav)
             if cache is not None:
@@ -396,8 +400,9 @@ class CosyVoice2Model:
             if fin:
                 pad_to = round_up(mel.shape[0], 32)
             else:
-                pad_to = self.mel_cache_len + (self.token_hop_len
-                                               + self.pre_lookahead_len) * self.ratio
+                pad_to = max(self.mel_cache_len + (self.token_hop_len
+                                                   + self.pre_lookahead_len)
+                             * self.ratio, mel.shape[0])
             prep.append((i, mel, cache, key, fin, pad_to))
 
         groups = defaultdict(list)
@@ -434,15 +439,19 @@ class CosyVoice2Model:
                 results[i] = wav
         return results
 
-    def mel2wav_stream_group(self, mel, rows, starts, sessions: list) -> list:
+    def mel2wav_stream_group(self, mel, rows, starts, sessions: list,
+                             win_rows: Optional[int] = None) -> list:
         """Steady-state streaming vocode: every job is a NON-FINAL chunk with
-        the same static (hop+la)*ratio mel window, taken straight out of the
-        batched flow output `mel` [B, T, 80] at (rows[i], starts[i]).  The
-        whole group — window gather, mel-cache concat, per-session noise keys,
-        HiFT, cache tails — runs as ONE jitted program per {cached, fresh}
-        subset (vs ~4 host dispatches per session in mel2wav_group), then one
-        wav fetch.  Outputs EQUAL mel2wav_group on the same jobs."""
-        win_rows = (self.token_hop_len + self.pre_lookahead_len) * self.ratio
+        the same static `win_rows` mel window (default one base hop +
+        lookahead; progressive-hop callers pass their chunk's size), taken
+        straight out of the batched flow output `mel` [B, T, 80] at
+        (rows[i], starts[i]).  The whole group — window gather, mel-cache
+        concat, per-session noise keys, HiFT, cache tails — runs as ONE
+        jitted program per {cached, fresh} subset (vs ~4 host dispatches per
+        session in mel2wav_group), then one wav fetch.  Outputs EQUAL
+        mel2wav_group on the same jobs."""
+        if win_rows is None:
+            win_rows = (self.token_hop_len + self.pre_lookahead_len) * self.ratio
         results: list = [None] * len(sessions)
         subsets: dict = {True: [], False: []}
         for i, session in enumerate(sessions):

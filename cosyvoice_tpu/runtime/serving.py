@@ -225,6 +225,19 @@ class ContinuousSynthesizer:
     text_bucket: int = 32
     speech_bucket: int = 64
     batch_chunks: bool = True
+    # progressive hop: each stream's chunk hop GROWS by this factor per chunk
+    # (rounded to a base-hop multiple, capped at max_hop).  1.0 = the
+    # reference v2 fixed 50-token hop.  The reference's v1 engine grew its
+    # hop the same way (cli/model.py:34-36 token_min/max_hop_len) because
+    # later chunks don't gate TTFB — a bigger hop amortizes the per-chunk
+    # re-run of the prompt/context rows over more emitted audio, cutting
+    # total flow work (the dominant serving cost) while the first chunk
+    # still lands after hop+la tokens.  Audio stays seam-free (same fade
+    # caches); chunk boundaries differ from the fixed-hop schedule, so
+    # enable it on the continuous serving path, not the parity-pinned
+    # sequential one.
+    hop_scale: float = 1.0
+    max_hop: Optional[int] = None          # default 4x base hop
     # place flow+vocoder on a different chip than the LM: their params move
     # there and every chunk jit dispatches there, so chunk synthesis runs
     # CONCURRENTLY with the next decode segment (the engine dispatches ahead)
@@ -252,7 +265,7 @@ class ContinuousSynthesizer:
         n_mel = m.flow.cfg.output_size
         B = len(jobs)
         tls, toks, drops = [], [], []
-        for st, tok, off, fin in jobs:
+        for st, tok, off, fin, hop in jobs:
             ps = st.req.prompt_speech_tokens
             # context window (model.flow_context_tokens): same drop the
             # sequential _flow_chunk computes, so the paths stay identical
@@ -267,7 +280,7 @@ class ContinuousSynthesizer:
         pf = np.zeros((B, Pmax, n_mel), np.float32)
         emb = np.stack([np.asarray(j[0].req.embedding, np.float32)
                         for j in jobs])
-        for i, (st, tok, off, fin) in enumerate(jobs):
+        for i, (st, tok, off, fin, hop) in enumerate(jobs):
             tokm[i, :tls[i]] = toks[i]
             pfl[i] = st.req.prompt_feat.shape[0]
             pf[i, :pfl[i]] = st.req.prompt_feat
@@ -286,17 +299,27 @@ class ContinuousSynthesizer:
             noise, streaming=streaming)
         if (all(not j[3] for j in jobs)
                 and len({id(j[0].session) for j in jobs}) == len(jobs)):
-            # steady-state streaming group: every chunk is the same static
+            # steady-state streaming group: every chunk is a static
             # (hop+la)*ratio window of its row — gather + cache splice +
-            # vocode run as ONE program (mel2wav_stream_group), no per-row
-            # mel slicing here
-            starts = [int(pfl[i]) + (off - drops[i]) * ratio
-                      for i, (_, _, off, _) in enumerate(jobs)]
-            wavs = m.mel2wav_stream_group(mel, list(range(B)), starts,
-                                          [j[0].session for j in jobs])
+            # vocode run as ONE program per hop size (mel2wav_stream_group),
+            # no per-row mel slicing here.  With progressive hops a flush
+            # can mix hop sizes; each same-hop subset shares one program.
+            la = m.pre_lookahead_len
+            wavs: list = [None] * B
+            by_hop: dict = {}
+            for i, (_, _, off, _, hop) in enumerate(jobs):
+                by_hop.setdefault(hop, []).append(i)
+            for hop, idxs in by_hop.items():
+                starts = [int(pfl[i]) + (jobs[i][2] - drops[i]) * ratio
+                          for i in idxs]
+                sub = m.mel2wav_stream_group(
+                    mel, idxs, starts, [jobs[i][0].session for i in idxs],
+                    win_rows=(hop + la) * ratio)
+                for i, w in zip(idxs, sub):
+                    wavs[i] = w
         else:
             gens, sessions, finals = [], [], []
-            for i, (st, tok, off, fin) in enumerate(jobs):
+            for i, (st, tok, off, fin, hop) in enumerate(jobs):
                 plen = len(st.req.prompt_speech_tokens)
                 start = int(pfl[i])
                 valid = ratio * (tls[i] - plen)
@@ -307,7 +330,7 @@ class ContinuousSynthesizer:
             # grouped vocode: one dispatch + one wav fetch per shape group
             # instead of a device round trip per session (mel stays on device)
             wavs = m.mel2wav_group(gens, sessions, finals)
-        for (st, tok, off, fin), wav in zip(jobs, wavs):
+        for (st, tok, off, fin, hop), wav in zip(jobs, wavs):
             emit(st, wav, fin)
 
     def serve(self, submissions, rng=None) -> None:
@@ -319,6 +342,18 @@ class ContinuousSynthesizer:
 
         m = self.model
         hop, la = m.token_hop_len, m.pre_lookahead_len
+        max_hop = self.max_hop if self.max_hop is not None else 4 * hop
+        if self.hop_scale > 1.0 and m.flow_context_tokens is not None:
+            assert m.flow_context_tokens >= max_hop + la, (
+                f"flow_context_tokens ({m.flow_context_tokens}) must cover "
+                f"the largest chunk + lookahead ({max_hop}+{la}) so the "
+                f"final chunk's emission region stays inside the window")
+
+        def next_hop(h: int) -> int:
+            if self.hop_scale <= 1.0:
+                return h
+            return min(max_hop, round_up(int(h * self.hop_scale), hop))
+
         engine = ServingEngine(m.llm, m.llm_params, num_slots=self.num_slots,
                                cache_len=self.cache_len,
                                max_out=self.max_out or m.max_decode_tokens,
@@ -332,24 +367,30 @@ class ContinuousSynthesizer:
         jobs: list[tuple] = []
 
         class _Stream:
-            __slots__ = ("req", "on_chunk", "tokens", "offset", "session")
+            __slots__ = ("req", "on_chunk", "tokens", "offset", "session",
+                         "hop")
 
             def __init__(self, req, on_chunk):
                 self.req, self.on_chunk = req, on_chunk
                 self.tokens: list[int] = []
                 self.offset = 0
                 self.session: dict = {"hift": None}
+                self.hop = hop
+
+            def __repr__(self):
+                return f"_Stream(offset={self.offset}, hop={self.hop})"
 
         def make_on_tokens(st: "_Stream"):
             def on_tokens(new, fin):
                 st.tokens.extend(new.tolist())
                 tok = np.asarray(st.tokens, np.int32)
-                while len(tok) - st.offset >= hop + la:
-                    jobs.append((st, tok[: st.offset + hop + la], st.offset,
-                                 False))
-                    st.offset += hop
+                while len(tok) - st.offset >= st.hop + la:
+                    jobs.append((st, tok[: st.offset + st.hop + la],
+                                 st.offset, False, st.hop))
+                    st.offset += st.hop
+                    st.hop = next_hop(st.hop)
                 if fin:
-                    jobs.append((st, tok, st.offset, True))
+                    jobs.append((st, tok, st.offset, True, 0))
             return on_tokens
 
         def emit(st: "_Stream", wav, fin):
@@ -358,7 +399,7 @@ class ContinuousSynthesizer:
 
         def flush():
             if not self.batch_chunks:
-                for st, tok, off, fin in jobs:
+                for st, tok, off, fin, _hop in jobs:
                     r = st.req
                     emit(st, m.token2wav(tok, r.prompt_speech_tokens,
                                          r.prompt_feat, r.embedding, off,

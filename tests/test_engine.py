@@ -459,3 +459,110 @@ def test_continuous_synthesizer_phoneme_stream():
         n_chunks = sum(1 for j, _ in seen if j == i)
         assert got[i].shape[0] == (n_tok + 3 * (n_chunks - 1)) * 2 * 48, \
             (got[i].shape[0], n_tok, n_chunks)
+
+
+def test_engine_batched_admit_padded_rows_exact_under_ras():
+    """Padding a batched-admit group with duplicate rows aimed at slots[0]
+    must be EXACT under stochastic sampling too, not just greedy: the admit
+    folds its sample key per slot id, so duplicate rows draw identical bits
+    and all ~10 duplicate-index scatters write identical values regardless
+    of XLA's duplicate-scatter ordering (round-3 advisor finding).  Admitting
+    [r0, r1, r2, r0->slots[0]] must equal admitting [r0, r1, r2]."""
+    from cosyvoice_tpu.runtime.engine import engine_admit_many, engine_init
+
+    qwen = dataclasses.replace(TINY, fused_cache_update=False)
+    cfg = LMConfig(llm_input_size=TINY.hidden_size,
+                   llm_output_size=TINY.hidden_size, speech_token_size=S,
+                   qwen=qwen,
+                   sampling=SamplingConfig(method="ras", top_p=0.8, top_k=5,
+                                           win_size=4, tau_r=0.1))
+    model = Qwen2LM(cfg)
+    rng = np.random.default_rng(7)
+    t = jnp.asarray(rng.integers(0, TINY.vocab_size, (1, 5)))
+    params = model.init(jax.random.PRNGKey(0), t, jnp.asarray([5]),
+                        t, jnp.asarray([5]))
+
+    def admit(slots, rows):
+        st = engine_init(model, 8, 256, 64, jax.random.PRNGKey(3), jnp.float32)
+        text = jnp.asarray(np.stack([r[0] for r in rows]))
+        tlen = jnp.asarray([len(r[0]) for r in rows], jnp.int32)
+        psp = jnp.asarray(np.stack([r[1] for r in rows]))
+        plen = jnp.asarray([len(r[1]) for r in rows], jnp.int32)
+        mn = jnp.asarray([1] * len(rows), jnp.int32)
+        mx = jnp.asarray([32] * len(rows), jnp.int32)
+        # jitted fn donates state; pass a fresh one each call
+        return engine_admit_many(model, params, st,
+                                 jnp.asarray(slots, jnp.int32),
+                                 text, tlen, psp, plen, mn, mx)
+
+    r0 = (rng.integers(0, TINY.vocab_size, 4).astype(np.int32),
+          rng.integers(0, S, 4).astype(np.int32))
+    r1 = (rng.integers(0, TINY.vocab_size, 4).astype(np.int32),
+          rng.integers(0, S, 4).astype(np.int32))
+    r2 = (rng.integers(0, TINY.vocab_size, 4).astype(np.int32),
+          rng.integers(0, S, 4).astype(np.int32))
+
+    padded = admit([2, 5, 6, 2], [r0, r1, r2, r0])
+    plain = admit([2, 5, 6], [r0, r1, r2])
+    for name in ("out", "count", "done", "recent", "recent_n", "prev_emb",
+                 "min_len", "max_len", "step"):
+        a, b = getattr(padded, name), getattr(plain, name)
+        np.testing.assert_array_equal(np.asarray(a)[[2, 5, 6]],
+                                      np.asarray(b)[[2, 5, 6]],
+                                      err_msg=name)
+
+
+def test_continuous_synthesizer_progressive_hop():
+    """hop_scale > 1 grows each stream's chunk hop (v1-style growing hop on
+    the v2 continuous path): later chunks emit more audio per flow call.
+    The batched flush path must equal the sequential token2wav path on the
+    SAME progressive schedule (mixed win_rows in one flush group), and the
+    schedule must actually produce growing chunks."""
+    from cosyvoice_tpu.models.llm import SamplingConfig as SC
+    from cosyvoice_tpu.runtime.serving import ContinuousSynthesizer, TTSRequest
+    from tests.test_runtime import SPEECH_VOCAB, N_MEL, build_tiny_stack
+
+    kw = dict(sampling=SC(method="greedy"), input_frame_rate=4,
+              max_decode_tokens=96)
+    rng = np.random.default_rng(5)
+    reqs = [TTSRequest(
+        text_tokens=rng.integers(0, 300, n).astype(np.int32),
+        prompt_text_len=0,
+        prompt_speech_tokens=rng.integers(0, SPEECH_VOCAB, 4).astype(np.int32),
+        prompt_feat=rng.standard_normal((8, N_MEL)).astype(np.float32),
+        embedding=rng.standard_normal(24).astype(np.float32))
+        for n in (30, 27)]
+
+    got = {}
+    sizes = {}
+    for batch_chunks in (True, False):
+        m = build_tiny_stack(**kw)
+        b = np.asarray(m.llm_params["params"]["llm_decoder"]["bias"]).copy()
+        b[SPEECH_VOCAB:] = -30.0  # emit every step -> long streams
+        m.llm_params["params"]["llm_decoder"]["bias"] = jnp.asarray(b)
+        m.flow_noise = (np.random.default_rng(1).standard_normal(
+            (1, 2000, N_MEL)) * 0.7).astype(np.float32)
+        chunks = {0: [], 1: []}
+
+        def on_chunk(idx, wav, final, chunks=chunks):
+            chunks[idx].append(len(wav))
+
+        synth = ContinuousSynthesizer(m, num_slots=2, cache_len=256,
+                                      max_out=m.max_decode_tokens,
+                                      text_bucket=16, speech_bucket=8,
+                                      batch_chunks=batch_chunks,
+                                      hop_scale=2.0)
+        got[batch_chunks] = synth.synthesize_batch(
+            reqs, rng=jax.random.PRNGKey(2), on_chunk=on_chunk)
+        sizes[batch_chunks] = chunks
+
+    # same progressive schedule on both paths -> same chunk sizes and wavs
+    assert sizes[True] == sizes[False]
+    for i in range(len(reqs)):
+        assert len(got[True][i]) == len(got[False][i])
+        np.testing.assert_allclose(got[True][i], got[False][i],
+                                   atol=1e-4, rtol=1e-4, err_msg=f"req {i}")
+    # hop actually grew: a later streamed (non-final) chunk is strictly
+    # bigger than the first
+    ch0 = sizes[True][0]
+    assert len(ch0) >= 2 and max(ch0[1:]) > ch0[0], ch0

@@ -288,3 +288,17 @@ def test_flow_encoder_bf16_serving_dtype(rng):
     err = np.abs(np.asarray(mel16) - np.asarray(mel32)).mean()
     ref = np.abs(np.asarray(mel32)).mean() + 1e-6
     assert err / ref < 0.1, (err, ref)
+
+
+def test_dit_block_requires_prefix_mask():
+    """DiTBlock's fused fast path reduces pad_mask to per-row lengths and
+    masks keys by j >= len only, so pad_mask MUST be prefix-contiguous.
+    Every estimator call site builds it via make_non_pad_mask — assert that
+    construction really is prefix-contiguous (guards the fused-path contract
+    against a future non-prefix mask source; round-3 advisor finding)."""
+    from cosyvoice_tpu.ops.masks import make_non_pad_mask
+
+    m = np.asarray(make_non_pad_mask(jnp.asarray([3, 0, 7, 8]), 8))
+    lens = m.sum(axis=1).astype(int)
+    for b in range(m.shape[0]):
+        assert m[b, :lens[b]].all() and not m[b, lens[b]:].any()
