@@ -47,6 +47,38 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _derive_decode_buckets(cap: int) -> tuple:
+    """Static decode-length buckets (200, 400, ..., cap): one compile per
+    bucket instead of per request length."""
+    b, bs = 200, []
+    while b < cap:
+        bs.append(b)
+        b *= 2
+    return tuple(bs) + (cap,)
+
+
+def _pick_bucket(buckets: tuple, cap: int, allowed: int) -> int:
+    """Smallest static bucket covering the reference's 20x-text bound
+    (llm/llm.py:856 for v2, llm.py:217-237 for v1), clamped at the hard
+    max_decode_tokens ceiling."""
+    for b in buckets:
+        if allowed <= b:
+            return b
+    return cap
+
+
+def _warn_truncated(count: int, allowed: int, cap: int,
+                    frame_rate: int) -> None:
+    if count >= cap and allowed > cap:
+        import logging
+        logging.warning(
+            "LM decode TRUNCATED at the static cap: emitted %d tokens "
+            "(~%.1f s audio) but the reference's 20x-text bound allows "
+            "%d; raise max_decode_tokens (from_pretrained / serve "
+            "--max-decode-tokens) for longer segments", count,
+            count / frame_rate, allowed)
+
+
 @dataclass
 class CosyVoice2Model:
     """Host-side orchestrator over jitted stage programs."""
@@ -91,11 +123,7 @@ class CosyVoice2Model:
 
     def __post_init__(self):
         if self.decode_buckets is None:
-            b, bs = 200, []
-            while b < self.max_decode_tokens:
-                bs.append(b)
-                b *= 2
-            self.decode_buckets = tuple(bs) + (self.max_decode_tokens,)
+            self.decode_buckets = _derive_decode_buckets(self.max_decode_tokens)
         fr = self.flow.cfg.input_frame_rate          # 25
         self.token_hop_len = 2 * fr                  # 50
         self.pre_lookahead_len = self.flow.cfg.pre_lookahead_len  # 3
@@ -222,20 +250,11 @@ class CosyVoice2Model:
         reference's max_len bound, llm/llm.py:856), clamped by the hard
         max_decode_tokens ceiling.  One compile per bucket."""
         allowed = int(new_text_len * self.llm.cfg.max_token_text_ratio)
-        for b in self.decode_buckets:
-            if allowed <= b:
-                return b
-        return self.max_decode_tokens
+        return _pick_bucket(self.decode_buckets, self.max_decode_tokens,
+                            allowed)
 
     def _warn_if_capped(self, count: int, allowed: int, cap: int) -> None:
-        if count >= cap and allowed > cap:
-            import logging
-            logging.warning(
-                "LM decode TRUNCATED at the static cap: emitted %d tokens "
-                "(~%.1f s audio) but the reference's 20x-text bound allows "
-                "%d; raise max_decode_tokens (from_pretrained / serve "
-                "--max-decode-tokens) for longer segments", count,
-                count / self.flow.cfg.input_frame_rate, allowed)
+        _warn_truncated(count, allowed, cap, self.flow.cfg.input_frame_rate)
 
     def llm_generate(self, text_tokens: np.ndarray, prompt_text_len: int,
                      prompt_speech_tokens: np.ndarray, rng) -> np.ndarray:
@@ -591,9 +610,25 @@ class CosyVoiceV1Model:
     flow_params: dict
     hift_params: dict
     sample_rate: int = 22050
+    # HARD per-segment cap, same semantics as CosyVoice2Model: the reference
+    # v1 decode runs to max_len = 20x new-text tokens unbounded
+    # (llm/llm.py:217-237); each request picks the smallest static bucket
+    # covering its own bound (one compile per bucket), and a decode that
+    # hits the ceiling logs a LOUD truncation warning.
     max_decode_tokens: int = 800
+    decode_buckets: Optional[tuple] = None
+
+    def decode_cap(self, new_text_len: int) -> int:
+        allowed = int(new_text_len * self.llm.cfg.max_token_text_ratio)
+        return _pick_bucket(self.decode_buckets, self.max_decode_tokens,
+                            allowed)
+
+    def _warn_if_capped(self, count: int, allowed: int, cap: int) -> None:
+        _warn_truncated(count, allowed, cap, self.fr)
 
     def __post_init__(self):
+        if self.decode_buckets is None:
+            self.decode_buckets = _derive_decode_buckets(self.max_decode_tokens)
         fr = self.flow.cfg.input_frame_rate
         self.fr = fr
         self.token_min_hop_len = 2 * fr
@@ -648,9 +683,10 @@ class CosyVoiceV1Model:
         text = jnp.asarray(text_tokens)[None]
         psp = jnp.asarray(prompt_speech_tokens)[None].astype(jnp.int32)
         new_text = text.shape[1] - prompt_text_len
+        allowed = int(new_text * self.llm.cfg.max_token_text_ratio)
+        cap = self.decode_cap(new_text)
         min_len = jnp.asarray([int(new_text * self.llm.cfg.min_token_text_ratio)])
-        max_len = jnp.asarray([int(new_text * self.llm.cfg.max_token_text_ratio)])
-        cap = self.max_decode_tokens
+        max_len = jnp.asarray([min(allowed, cap)])
         has_spk = embedding is not None and np.asarray(embedding).size > 0
         emb = jnp.asarray(embedding)[None] if has_spk else jnp.zeros((1, self.llm.cfg.spk_embed_dim))
         cache_len = round_up(3 + text.shape[1] + psp.shape[1] + cap, 128)
@@ -659,6 +695,7 @@ class CosyVoiceV1Model:
                                     jnp.asarray([psp.shape[1]]), emb,
                                     min_len, max_len, rng, max_steps=cap,
                                     cache_len=cache_len, has_spk=has_spk)
+        self._warn_if_capped(int(count[0]), allowed, cap)
         return np.asarray(out[0][: int(count[0])])
 
     def token2wav(self, tokens, prompt_tokens, prompt_feat, embedding,
@@ -755,11 +792,12 @@ class CosyVoiceV1Model:
         text = jnp.asarray(text_tokens)[None]
         psp = jnp.asarray(llm_prompt_speech_token)[None].astype(jnp.int32)
         new_text = text.shape[1] - prompt_text_len
-        cap = self.max_decode_tokens
+        allowed = int(new_text * self.llm.cfg.max_token_text_ratio)
+        cap = self.decode_cap(new_text)
         # clamp to the static cap so the done flag fires even when the text
-        # ratio allows more tokens than the decode buffer holds
-        max_len = jnp.asarray(
-            [min(int(new_text * self.llm.cfg.max_token_text_ratio), cap)])
+        # ratio allows more tokens than the decode buffer holds (the cap
+        # that actually binds triggers the truncation warning below)
+        max_len = jnp.asarray([min(allowed, cap)])
         has_spk = llm_embedding is not None and np.asarray(llm_embedding).size > 0
         lemb = (jnp.asarray(llm_embedding)[None] if has_spk
                 else jnp.zeros((1, self.llm.cfg.spk_embed_dim)))
@@ -785,5 +823,6 @@ class CosyVoiceV1Model:
                           int(hop * self.stream_scale_factor))
             if done or int(state.gen.step) >= cap:
                 break
+        self._warn_if_capped(count, allowed, cap)
         yield {"tts_speech": self.token2wav(tokens[consumed:], fpt, prompt_feat,
                                             emb, session, finalize=True)}

@@ -99,8 +99,11 @@ def spell_out_number(text: str) -> str:
 # idiomatic 两/二 rules (两千/两万/两亿, 两点 hours, 2+measure-word -> 两个).
 # DOCUMENTED GAPS vs WeTextProcessing (plug a full TN model via
 # CosyVoiceFrontEnd text_normalizer= for production zh):
-#   * polyphone disambiguation and erhua/retroflex handling (needs a
-#     pronunciation lexicon, which this image does not ship)
+#   * polyphone disambiguation and erhua/retroflex handling: a word-context
+#     lexicon FLOOR for the ~20 highest-frequency polyphones now ships in
+#     tokenizer/polyphone.py (fix_polyphones / make_polyphone_g2p, golden-
+#     tested); full coverage still needs a learned g2p / pronunciation
+#     lexicon, which this image does not ship
 
 _ZH_DIG = "零一二三四五六七八九"
 _ZH_UNITS = ["", "十", "百", "千"]

@@ -115,3 +115,84 @@ def test_preprocess_matches_reference(tmp_path):
     assert n == 6  # 今天很好你吗 unique chars
     pp.write_bpe_train_text(str(src), str(tmp_path / "bpe_text"))
     assert "utt2 hello world" in (tmp_path / "bpe_text").read_text()
+
+
+def test_polyphone_floor_goldens():
+    """High-frequency zh polyphone lexicon (round-3 VERDICT #10): word
+    context picks the right reading, default covers the rest."""
+    from cosyvoice_tpu.tokenizer.polyphone import fix_polyphones
+
+    def run(s):
+        chars = list(s)
+        return fix_polyphones(chars, ["x5"] * len(chars))
+
+    # 的: particle default vs 的确/目的/打的
+    assert run("我的书")[1] == "de5"
+    assert run("的确如此")[0] == "di2"
+    assert run("目的地")[1] == "di4"
+    assert run("打的回家")[1] == "di1"
+    # 得: complement default vs 得到 vs 必须-得
+    assert run("跑得快")[1] == "de5"
+    assert run("得到奖励")[0] == "de2"
+    assert run("我总得去")[2] == "dei3"
+    # 地: noun default vs adverbial reduplication
+    assert run("地球很大")[0] == "di4"
+    assert run("慢慢地走")[2] == "de5"
+    # 了: aspect default vs 了解
+    assert run("他走了")[2] == "le5"
+    assert run("了解情况")[0] == "liao3"
+    assert run("受不了啦")[2] == "liao3"
+    # 着: aspect default vs 着急/沉着
+    assert run("看着我")[1] == "zhe5"
+    assert run("别着急")[1] == "zhao2"
+    assert run("沉着应对")[1] == "zhuo2"
+    # 行 / 重 / 长 / 还 / 乐 / 都 / 为 / 发
+    assert run("自行车")[1] == "xing2"
+    assert run("中国银行")[3] == "hang2"
+    assert run("很重要")[1] == "zhong4"
+    assert run("重新开始")[0] == "chong2"
+    assert run("很长的路")[1] == "chang2"
+    assert run("他是校长")[3] == "zhang3"
+    assert run("还没来")[0] == "hai2"
+    assert run("还钱给我")[0] == "huan2"
+    assert run("快乐时光")[1] == "le4"
+    assert run("听音乐会")[2] == "yue4"
+    assert run("大家都来")[2] == "dou1"
+    assert run("首都机场")[1] == "du1"
+    assert run("为什么呢")[0] == "wei4"
+    assert run("成为冠军")[1] == "wei2"
+    assert run("理发店")[1] == "fa4"
+    assert run("发现问题")[0] == "fa1"
+    # 会计 / 只 / 觉 / 便宜 / 间
+    assert run("会计师")[0] == "kuai4"
+    assert run("我不会")[2] == "hui4"
+    assert run("一只猫")[1] == "zhi1"
+    assert run("只有一个")[0] == "zhi3"
+    assert run("去睡觉吧")[2] == "jiao4"
+    assert run("感觉不错")[1] == "jue2"
+    assert run("很便宜")[1] == "pian2"
+    assert run("方便的话")[1] == "bian4"
+    assert run("时间不多")[1] == "jian1"
+    assert run("间接影响")[0] == "jian4"
+    # longest-match priority: 不得了 (liao3) beats plain aspect 了
+    assert run("真是不得了")[4] == "liao3"
+    # non-zh rows pass through untouched
+    got = fix_polyphones(["a", "的"], ["ey1", "x5"])
+    assert got == ["ey1", "de5"]
+
+
+def test_polyphone_g2p_wrapper():
+    """make_polyphone_g2p fixes single-char zh words in a reference-layout
+    g2p result using cross-word context, leaving multi-char words alone."""
+    from cosyvoice_tpu.tokenizer.polyphone import make_polyphone_g2p
+
+    def base(texts):
+        # naive g2p that always gives 的->de5, 银行->yin2hang2 correctly but
+        # misreads standalone 长 as chang2 in a 校长 split
+        return {"words": ["校", "长", "的", "目", "的"],
+                "symbols": ["xiao4", "chang2", "de5", "mu4", "de5"]}
+
+    out = make_polyphone_g2p(base)("校长的目的")
+    assert out["symbols"][1] == "zhang3"   # 校长 context -> zhang3
+    assert out["symbols"][2] == "de5"      # particle stays
+    assert out["symbols"][4] == "di4"      # 目的 context -> di4
