@@ -430,13 +430,20 @@ class CosyVoice2Model:
             groups[(pad_to, cache is not None)].append(item)
 
         for (pad_to, has_cache), items in groups.items():
-            mels = jnp.stack([jnp.pad(jnp.asarray(m, jnp.float32),
-                                      ((0, pad_to - m.shape[0]), (0, 0)))
-                              for _, m, *_ in items])
-            keys = jnp.stack([k for *_, k, _, _ in items])
+            # pad the group to a power of two (copies of row 0, sliced off):
+            # group sizes depend on host timing, and every unseen size would
+            # compile a fresh program mid-serving (run-to-run stalls)
+            K = len(items)
+            Kp = 1 << (K - 1).bit_length()
+            rows = [jnp.pad(jnp.asarray(m, jnp.float32),
+                            ((0, pad_to - m.shape[0]), (0, 0)))
+                    for _, m, *_ in items]
+            mels = jnp.stack(rows + [rows[0]] * (Kp - K))
+            ks = [k for *_, k, _, _ in items]
+            keys = jnp.stack(ks + [ks[0]] * (Kp - K))
             if has_cache:
-                cs = jnp.stack([jnp.asarray(c["source"])
-                                for _, _, c, *_ in items])
+                cr = [jnp.asarray(c["source"]) for _, _, c, *_ in items]
+                cs = jnp.stack(cr + [cr[0]] * (Kp - K))
                 wavs, srcs = self._hift_infer_group(self.hift_params, mels,
                                                     cs, keys)
             else:
@@ -483,20 +490,28 @@ class CosyVoice2Model:
                 s = sessions[i]
                 s["noise_ctr"] = s.get("noise_ctr", 0) + 1
                 ctrs.append(s["noise_ctr"])
-            r = jnp.asarray(np.asarray([rows[i] for i in idxs], np.int32))
-            st = jnp.asarray(np.asarray([starts[i] for i in idxs], np.int32))
+            # pad the group to a power of two (row-0 duplicates, sliced off)
+            # so timing-dependent group sizes reuse one compiled program
+            K = len(idxs)
+            Kp = 1 << (K - 1).bit_length()
+            pad = lambda lst: lst + [lst[0]] * (Kp - K)
+            r = jnp.asarray(np.asarray(pad([rows[i] for i in idxs]), np.int32))
+            st = jnp.asarray(np.asarray(pad([starts[i] for i in idxs]),
+                                        np.int32))
             if cached:
-                cm = jnp.stack([jnp.asarray(sessions[i]["hift"]["mel"])
-                                for i in idxs])
-                cs = jnp.stack([jnp.asarray(sessions[i]["hift"]["source"])
-                                for i in idxs])
+                cmr = [jnp.asarray(sessions[i]["hift"]["mel"]) for i in idxs]
+                csr = [jnp.asarray(sessions[i]["hift"]["source"])
+                       for i in idxs]
+                cm = jnp.stack(pad(cmr))
+                cs = jnp.stack(pad(csr))
             else:
-                cm = jnp.zeros((len(idxs), self.mel_cache_len,
+                cm = jnp.zeros((Kp, self.mel_cache_len,
                                 self.flow.cfg.output_size), jnp.float32)
-                cs = jnp.zeros((len(idxs), self.source_cache_len), jnp.float32)
+                cs = jnp.zeros((Kp, self.source_cache_len), jnp.float32)
             wav, mel_tail, src_tail = self._hift_stream_group(
                 self.hift_params, mel, r, st, cm, cs, self._noise_rng,
-                jnp.asarray(np.asarray(ctrs, np.int32)), win_rows, cached)
+                jnp.asarray(np.asarray(pad(ctrs), np.int32)), win_rows,
+                cached)
             wav_h = np.asarray(wav)                     # ONE fetch per subset
             for row, i in enumerate(idxs):
                 session = sessions[i]

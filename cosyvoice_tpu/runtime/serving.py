@@ -254,16 +254,26 @@ class ContinuousSynthesizer:
 
     def _flush_group(self, jobs, emit, streaming: bool):
         """One ragged-batched flow call over `jobs` (each (stream, tokens,
-        offset, final)), then per-session vocode.
+        offset, final, hop)), then per-session vocode.
 
         Every job's mel is sliced exactly as the sequential token2wav does:
         generated region starts at the prompt-feat rows, valid length is
         ratio*(n_tokens - n_prompt_tokens), chunk begins at offset*ratio.
+
+        The flow batch is PADDED to a power of two (copies of row 0, output
+        rows sliced off): which jobs become ready at a segment boundary
+        depends on host timing, so the raw group size varies run to run —
+        without bucketing every new size compiles a fresh flow program
+        mid-serving (measured as multi-second stalls and a 2x run-to-run
+        aggregate spread).  Padding is exact per row (exact_pad_mask flow +
+        per-row noise), and costs at most one extra power-of-two step of
+        batch on an already-batched call.
         """
         m = self.model
         ratio = m.ratio
         n_mel = m.flow.cfg.output_size
         B = len(jobs)
+        Bp = 1 << (B - 1).bit_length()
         tls, toks, drops = [], [], []
         for st, tok, off, fin, hop in jobs:
             ps = st.req.prompt_speech_tokens
@@ -274,27 +284,37 @@ class ContinuousSynthesizer:
             toks.append(np.concatenate([ps, tok[d:]]).astype(np.int32))
             tls.append(len(toks[-1]))
         bucket = max(round_up(max(tls), m.token_hop_len), m.token_hop_len)
-        tokm = np.zeros((B, bucket), np.int32)
-        pfl = np.zeros(B, np.int32)
-        Pmax = max(j[0].req.prompt_feat.shape[0] for j in jobs)
-        pf = np.zeros((B, Pmax, n_mel), np.float32)
+        tokm = np.zeros((Bp, bucket), np.int32)
+        pfl = np.zeros(Bp, np.int32)
+        # Pmax rounded up so request mixes with different prompt lengths
+        # reuse one compiled shape (pad rows beyond pfl are masked exactly)
+        Pmax = round_up(max(j[0].req.prompt_feat.shape[0] for j in jobs), 32)
+        pf = np.zeros((Bp, Pmax, n_mel), np.float32)
         emb = np.stack([np.asarray(j[0].req.embedding, np.float32)
-                        for j in jobs])
+                        for j in jobs]
+                       + [np.asarray(jobs[0][0].req.embedding, np.float32)]
+                       * (Bp - B))
         for i, (st, tok, off, fin, hop) in enumerate(jobs):
             tokm[i, :tls[i]] = toks[i]
             pfl[i] = st.req.prompt_feat.shape[0]
             pf[i, :pfl[i]] = st.req.prompt_feat
+        tokm[B:] = tokm[0]
+        pfl[B:] = pfl[0]
+        pf[B:] = pf[0]
+        tls_pad = tls + [tls[0]] * (Bp - B)
         if m.flow_noise is None:
             noise = None
         elif not any(drops):
             noise = _noise_for(m, bucket)
         else:
             need = m.ratio * bucket
-            noise = jnp.asarray(np.concatenate(
-                [m.windowed_noise(int(pfl[i]), drops[i], need)
-                 for i in range(B)], axis=0))
+            rows = [m.windowed_noise(int(pfl[i]), drops[i], need)
+                    for i in range(B)]
+            noise = jnp.asarray(np.concatenate(rows + [rows[0]] * (Bp - B),
+                                               axis=0))
         mel = self._flow_ragged(
-            m.flow_params, jnp.asarray(tokm), jnp.asarray(tls, dtype=jnp.int32),
+            m.flow_params, jnp.asarray(tokm),
+            jnp.asarray(tls_pad, dtype=jnp.int32),
             jnp.asarray(pf), jnp.asarray(emb), jnp.asarray(pfl),
             noise, streaming=streaming)
         if (all(not j[3] for j in jobs)
