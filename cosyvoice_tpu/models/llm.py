@@ -167,6 +167,41 @@ class Qwen2LM(nn.Module):
                                        cfg.length_normalized_loss),
                 "acc": masked_accuracy(logits, target)}
 
+    def packed_call(self, ids: jax.Array, types: jax.Array,
+                    positions: jax.Array, seg: jax.Array,
+                    target: jax.Array) -> dict:
+        """Sequence-PACKED training step: each row holds several
+        [sos, text, task, speech] examples back to back (train/packing.py
+        builds the arrays).  Short utterances dominate TTS corpora, so the
+        unpacked step (bs 8 x ~450 tokens) leaves most MXU rows idle;
+        packing fills rows to ~2k tokens at the same memory.
+
+        ids [B, N]: per-type embedding indices; types [B, N]: 0 pad, 1 text,
+        2 sos/task (llm_embedding), 3 speech; positions [B, N] restart per
+        example; seg [B, N] example id (1-based, 0 = pad); target [B, N]
+        next-token labels with IGNORE_ID outside speech/eos.
+
+        Attention is BLOCK-DIAGONAL causal (same-seg & causal & non-pad), so
+        the loss equals the unpacked __call__ on the same examples exactly
+        (same valid-position set -> same masked-CE mean; test_train.py)."""
+        cfg = self.cfg
+        B, N = ids.shape
+        te = self.llm.embed(jnp.where(types == 1, ids, 0))
+        le = self.llm_embedding(jnp.where(types == 2, jnp.minimum(ids, 1), 0))
+        se = self.speech_embedding(jnp.where(types == 3, ids, 0))
+        emb = jnp.where((types == 1)[..., None], te,
+              jnp.where((types == 2)[..., None], le,
+              jnp.where((types == 3)[..., None], se, 0.0)))
+        causal = jnp.arange(N)[None, :] <= jnp.arange(N)[:, None]
+        same = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
+        bias = jnp.where(causal[None] & same, 0.0, NEG_INF
+                         ).astype(emb.dtype)[:, None]
+        hidden, _ = self.llm(emb, positions, bias)
+        logits = self.llm_decoder(hidden)
+        return {"loss": masked_ce_loss(logits, target, cfg.lsm_weight,
+                                       cfg.length_normalized_loss),
+                "acc": masked_accuracy(logits, target)}
+
 
 def masked_ce_loss(logits, target, smoothing=0.0, length_normalized=True):
     """wenet LabelSmoothingLoss semantics with IGNORE_ID masking."""
@@ -176,12 +211,18 @@ def masked_ce_loss(logits, target, smoothing=0.0, length_normalized=True):
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     if smoothing > 0.0:
         # wenet LabelSmoothingLoss: KL(true_dist || p) with true_dist =
-        # confidence at target, smoothing/(V-1) elsewhere
+        # confidence at target, smoothing/(V-1) elsewhere.  CLOSED FORM —
+        # sum_v td_v (log td_v - logp_v)
+        #   = [conf log conf + (V-1) sm log sm]            (entropy, const)
+        #     - conf logp_tgt - sm (sum_v logp_v - logp_tgt)
+        # identical math without materializing the [.., V] one-hot / KL
+        # tensors (at the 0.5B head that was ~3 extra fp32 [B,N,6564]
+        # passes per step through HBM)
         conf = 1.0 - smoothing
         sm = smoothing / (V - 1)
-        onehot = jax.nn.one_hot(tgt, V, dtype=logp.dtype)
-        true_dist = onehot * conf + (1.0 - onehot) * sm
-        nll = jnp.sum(true_dist * (jnp.log(jnp.maximum(true_dist, 1e-12)) - logp), axis=-1)
+        ent = conf * np.log(conf) + (V - 1) * sm * np.log(sm)
+        logp_tgt = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        nll = ent - conf * logp_tgt - sm * (jnp.sum(logp, axis=-1) - logp_tgt)
     else:
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)

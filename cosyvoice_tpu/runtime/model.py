@@ -233,12 +233,53 @@ class CosyVoice2Model:
             return (wav[:, :n], win[:, -mel_cache_len:],
                     src[:, n - src_cache: n, 0])
 
+        # final-chunk twin of _hift_stream_group: window width is static
+        # (max valid length rounded to 128) with per-row valid lengths
+        # masked to zero — the host-side per-row slice/pad of the old final
+        # path dispatched ~5 eager ops per session per flush AND compiled a
+        # fresh tiny program for every new mel length (lengths drift with
+        # the sampled token counts, so that churn hit TIMED serving runs).
+        # Rows beyond `valid` are zeros exactly like the old pad, and HiFT
+        # has no whole-time reductions, so wav[: (cache+valid)*hop] matches
+        # the sequential path to fp tolerance.
+        @partial(jax.jit, static_argnames=("win_rows", "cached"))
+        def _hift_final_group(params, mel, rows, starts, valids, cache_mel,
+                              cache_src, base_rng, ctrs, win_rows: int,
+                              cached: bool):
+            melp = jnp.pad(mel.astype(jnp.float32),
+                           ((0, 0), (0, win_rows), (0, 0)))
+            win = jax.vmap(lambda r, s: jax.lax.dynamic_slice(
+                melp, (r, s, 0), (1, win_rows, melp.shape[-1]))[0]
+            )(rows, starts)                              # [K, win, 80]
+            win = win * (jnp.arange(win_rows)[None, :]
+                         < valids[:, None])[..., None].astype(win.dtype)
+            keys = jax.vmap(lambda c: jax.random.fold_in(base_rng, c))(ctrs)
+            if cached:
+                full = jnp.concatenate([cache_mel.astype(jnp.float32), win],
+                                       axis=1)
+
+                def one(m, cs, k):
+                    return hift_model.apply(params, m[None], cs[None, :, None],
+                                            rngs={"noise": k},
+                                            method=HiFTGenerator.inference)
+
+                wav, _ = jax.vmap(one)(full, cache_src, keys)
+            else:
+                def one(m, k):
+                    return hift_model.apply(params, m[None],
+                                            rngs={"noise": k},
+                                            method=HiFTGenerator.inference)
+
+                wav, _ = jax.vmap(one)(win, keys)
+            return wav[:, 0]
+
         self._flow_infer = _flow_infer
         self._hift_infer = _hift_infer
         self._hift_infer_nocache = _hift_infer_nocache
         self._hift_infer_group = _hift_infer_group
         self._hift_infer_group_nocache = _hift_infer_group_nocache
         self._hift_stream_group = _hift_stream_group
+        self._hift_final_group = _hift_final_group
         self._noise_rng = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
@@ -278,13 +319,19 @@ class CosyVoice2Model:
     def flow_window_drop(self, n_gen: int, token_offset: int) -> int:
         """Generated tokens to DROP from the front of a streaming chunk's
         flow context (0 without flow_context_tokens or for one-shot calls,
-        which have token_offset 0).  Quantized to hop multiples so the
-        bucketed call shapes stay stable; always <= token_offset, so the
-        emission region stays inside the window."""
+        which have token_offset 0).  CEIL-quantized to hop multiples: the
+        kept window is always in (W - hop, W], so a final chunk's call
+        shape does not depend on the exact sampled token count (emitted
+        counts drift under RAS; with floor quantization count 500 vs 495
+        landed in different buckets and recompiled mid-serving).  Clamped
+        to a hop multiple <= token_offset so the emission region always
+        stays inside the window."""
         W = self.flow_context_tokens
         if W is None or token_offset == 0 or n_gen <= W:
             return 0
-        return ((n_gen - W) // self.token_hop_len) * self.token_hop_len
+        hop = self.token_hop_len
+        drop = -((-(n_gen - W)) // hop) * hop          # ceil to hop multiple
+        return min(drop, (token_offset // hop) * hop)
 
     def windowed_noise(self, pfl: int, drop: int, need: int) -> np.ndarray:
         """Noise rows for a windowed flow call: the prompt region keeps rows
@@ -522,6 +569,58 @@ class CosyVoice2Model:
                                    "source": src_tail[row],
                                    "speech": w[-self.source_cache_len:]}
                 results[i] = w[: -self.source_cache_len]
+        return results
+
+    def mel2wav_final_group(self, mel, rows, starts, valids,
+                            sessions: list) -> list:
+        """Final-chunk vocode for a whole flush group, ONE jitted program
+        per {cached, fresh} subset + one wav fetch — no per-session host
+        slicing/padding (see _hift_final_group).  rows/starts/valids index
+        the batched flow output `mel` [B, T, 80]; valids are the per-row
+        generated-mel lengths.  Outputs EQUAL mel2wav_group on the same
+        jobs to fp tolerance."""
+        win_rows = round_up(max(valids), 128)
+        results: list = [None] * len(sessions)
+        subsets: dict = {True: [], False: []}
+        for i, session in enumerate(sessions):
+            subsets[session.get("hift") is not None].append(i)
+        for cached, idxs in subsets.items():
+            if not idxs:
+                continue
+            ctrs = []
+            for i in idxs:
+                s = sessions[i]
+                s["noise_ctr"] = s.get("noise_ctr", 0) + 1
+                ctrs.append(s["noise_ctr"])
+            K = len(idxs)
+            Kp = 1 << (K - 1).bit_length()
+            pad = lambda lst: lst + [lst[0]] * (Kp - K)
+            r = jnp.asarray(np.asarray(pad([rows[i] for i in idxs]), np.int32))
+            st = jnp.asarray(np.asarray(pad([starts[i] for i in idxs]),
+                                        np.int32))
+            vl = jnp.asarray(np.asarray(pad([valids[i] for i in idxs]),
+                                        np.int32))
+            if cached:
+                cmr = [jnp.asarray(sessions[i]["hift"]["mel"]) for i in idxs]
+                csr = [jnp.asarray(sessions[i]["hift"]["source"])
+                       for i in idxs]
+                cm, cs = jnp.stack(pad(cmr)), jnp.stack(pad(csr))
+            else:
+                cm = jnp.zeros((Kp, self.mel_cache_len,
+                                self.flow.cfg.output_size), jnp.float32)
+                cs = jnp.zeros((Kp, self.source_cache_len), jnp.float32)
+            wav = self._hift_final_group(
+                self.hift_params, mel, r, st, vl, cm, cs, self._noise_rng,
+                jnp.asarray(np.asarray(pad(ctrs), np.int32)), win_rows,
+                cached)
+            wav_h = np.asarray(wav)                     # ONE fetch per subset
+            for row, i in enumerate(idxs):
+                session = sessions[i]
+                n = (self.mel_cache_len if cached else 0) + int(valids[i])
+                w = wav_h[row, : n * self.hop_samples]
+                if cached:
+                    w = self._fade(w, session["hift"]["speech"])
+                results[i] = w
         return results
 
     def _fade(self, wav: np.ndarray, prev_tail: np.ndarray) -> np.ndarray:

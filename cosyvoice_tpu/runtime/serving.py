@@ -337,6 +337,21 @@ class ContinuousSynthesizer:
                     win_rows=(hop + la) * ratio)
                 for i, w in zip(idxs, sub):
                     wavs[i] = w
+        elif (all(j[3] for j in jobs)
+                and len({id(j[0].session) for j in jobs}) == len(jobs)
+                and all(ratio * (tls[i] - len(jobs[i][0].req.prompt_speech_tokens))
+                        - (jobs[i][2] - drops[i]) * ratio > 0
+                        for i in range(B))):
+            # final-chunk group: whole group in ONE jitted program per
+            # {cached, fresh} subset (static window + per-row valid lengths)
+            # — no per-session eager slicing/padding on the host
+            starts, valids = [], []
+            for i, (st, tok, off, fin, hop) in enumerate(jobs):
+                plen = len(st.req.prompt_speech_tokens)
+                starts.append(int(pfl[i]) + (off - drops[i]) * ratio)
+                valids.append(ratio * (tls[i] - plen) - (off - drops[i]) * ratio)
+            wavs = m.mel2wav_final_group(mel, list(range(B)), starts, valids,
+                                         [j[0].session for j in jobs])
         else:
             gens, sessions, finals = [], [], []
             for i, (st, tok, off, fin, hop) in enumerate(jobs):

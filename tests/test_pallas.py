@@ -208,3 +208,89 @@ def test_dit_block_fused_matches_unfused(rng):
         n = int(lens[b])
         np.testing.assert_allclose(np.asarray(got[b, :n]),
                                    np.asarray(want[b, :n]), atol=2e-5)
+
+
+def test_lm_step_fused_matches_flax_decode():
+    """Whole-step decode kernel (ops/pallas/lm_step.py): the packed-weight
+    step (XLA twin + Pallas interpret) reproduces the flax Qwen2 decode
+    forward exactly enough for greedy parity — hidden states match the
+    head-major B=1 int8 path to fp tolerance over multiple steps."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+    from cosyvoice_tpu.models.qwen2 import (KVCache, Qwen2Config,
+                                            rope_cos_sin)
+    from cosyvoice_tpu.ops.pallas.lm_step import (StepWeights,
+                                                  cache_to_step_layout,
+                                                  lm_step_fused, lm_step_xla,
+                                                  pack_step_weights)
+    from cosyvoice_tpu.utils.quant import quantize_qwen_int8
+
+    qwen = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=3,
+                       num_heads=4, num_kv_heads=2, head_dim=8,
+                       intermediate_size=64, quant="none")
+    cfg = LMConfig(llm_input_size=32, llm_output_size=32, speech_token_size=16,
+                   qwen=qwen)
+    model_fp = Qwen2LM(cfg)
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.integers(0, 64, (1, 5)))
+    params = model_fp.init(jax.random.PRNGKey(1), t, jnp.asarray([5]),
+                           t % 16, jnp.asarray([5]))
+    params = quantize_qwen_int8(params)
+    qwen_q = dataclasses.replace(qwen, quant="int8")
+    model = Qwen2LM(dataclasses.replace(cfg, qwen=qwen_q))
+
+    C = 32
+    B_, Tp = 1, 6
+    emb0 = jnp.asarray(rng.standard_normal((B_, Tp, 32)).astype(np.float32)) * 0.3
+    cache = KVCache.create(qwen_q, B_, C, dtype=jnp.float32)
+    from cosyvoice_tpu.models.qwen2 import causal_prefill_bias
+    bias = causal_prefill_bias(Tp, C, jnp.asarray([Tp]), B_, jnp.float32)
+    pos0 = jnp.broadcast_to(jnp.arange(Tp)[None], (B_, Tp))
+    hid, cache = model.apply(params, emb0, pos0, bias, cache,
+                             method=Qwen2LM.forward_hidden)
+
+    w = pack_step_weights(params, qwen.num_layers)
+    kc, vc = cache_to_step_layout(cache.k, cache.v, C)
+
+    # several decode steps: flax T=1 forward vs the packed step (+ final
+    # norm applied by forward_hidden)
+    from cosyvoice_tpu.models.qwen2 import rms_norm
+    norm_w = params["params"]["llm"]["norm"]
+    x = jnp.asarray(rng.standard_normal((B_, 1, 32)).astype(np.float32)) * 0.3
+    for step in range(3):
+        pos = Tp + step
+        key_ok = jnp.arange(C)[None, :] <= pos
+        dbias = jnp.where(key_ok[:, None, None, :], 0.0, -1e30
+                          ).astype(jnp.float32)
+        want, cache = model.apply(params, x, jnp.asarray([[pos]]), dbias,
+                                  cache._replace(pos=jnp.asarray(pos)),
+                                  method=Qwen2LM.forward_hidden)
+
+        x8 = jnp.pad(x[0], ((0, 7), (0, 0)))
+        cos, sin = rope_cos_sin(jnp.asarray([[pos]]), 8, qwen.rope_theta)
+        cs, sn = cos[0], sin[0]
+        got_y, nk, nv = lm_step_xla(w, x8, kc, vc, jnp.asarray(pos), cs, sn,
+                                    nq=4, nkv=2, hd=8)
+        got = rms_norm(got_y[0:1], norm_w, qwen.rms_norm_eps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want[0]),
+                                   atol=2e-4, rtol=2e-3,
+                                   err_msg=f"step {step} (xla twin)")
+
+        got_y2, nk2, nv2 = lm_step_fused(w, x8, kc, vc, jnp.asarray(pos),
+                                         cs, sn, nq=4, nkv=2, hd=8,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(got_y2[0]), np.asarray(got_y[0]),
+                                   atol=2e-5, rtol=1e-4,
+                                   err_msg=f"step {step} (pallas vs twin)")
+        np.testing.assert_allclose(np.asarray(nk2), np.asarray(nk), atol=1e-5)
+
+        # the step's new k/v must equal what the flax path appended
+        kc = jax.vmap(lambda c, u: jax.lax.dynamic_update_slice(
+            c, u[None], (pos, 0)))(kc, nk)
+        vc = jax.vmap(lambda c, u: jax.lax.dynamic_update_slice(
+            c, u[None], (pos, 0)))(vc, nv)
+        kc_want, vc_want = cache_to_step_layout(cache.k, cache.v, C)
+        np.testing.assert_allclose(np.asarray(kc), np.asarray(kc_want),
+                                   atol=2e-4, rtol=2e-3)
+        x = want  # feed the normed hidden as next input (any vector works)

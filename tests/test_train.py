@@ -128,3 +128,77 @@ def test_executor_tensorboard_writer(tmp_path):
     if ex._tb is not None:
         ex._tb.flush()
         assert any((tmp_path / "tb").iterdir())
+
+
+def test_packed_llm_step_matches_unpacked():
+    """Sequence packing (train/packing.py + Qwen2LM.packed_call) is loss-
+    exact: packing the same examples into block-diagonal rows yields the
+    SAME masked-CE loss/acc as the unpacked per-row __call__ (identical
+    valid-position set and denominator)."""
+    from cosyvoice_tpu.models.llm import IGNORE_ID, LMConfig, Qwen2LM
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+    from cosyvoice_tpu.train.packing import pack_llm_examples
+
+    qwen = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=2, head_dim=8,
+                       intermediate_size=64)
+    cfg = LMConfig(llm_input_size=32, llm_output_size=32,
+                   speech_token_size=16, qwen=qwen)
+    model = Qwen2LM(cfg)
+    rng = np.random.default_rng(3)
+    exs = [(rng.integers(0, 64, n).astype(np.int32),
+            rng.integers(0, 16, s).astype(np.int32))
+           for n, s in [(5, 7), (3, 4), (6, 9), (2, 3)]]
+
+    # unpacked: pad to common shapes, one example per row
+    Tt = max(len(t) for t, _ in exs)
+    Ts = max(len(s) for _, s in exs)
+    text = np.zeros((len(exs), Tt), np.int32)
+    tl = np.zeros(len(exs), np.int32)
+    sp = np.zeros((len(exs), Ts), np.int32)
+    sl = np.zeros(len(exs), np.int32)
+    for i, (t, s) in enumerate(exs):
+        text[i, :len(t)] = t
+        tl[i] = len(t)
+        sp[i, :len(s)] = s
+        sl[i] = len(s)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(text),
+                        jnp.asarray(tl), jnp.asarray(sp), jnp.asarray(sl))
+    want = model.apply(params, jnp.asarray(text), jnp.asarray(tl),
+                       jnp.asarray(sp), jnp.asarray(sl))
+
+    packed = pack_llm_examples(exs, row_len=24, sos_eos=cfg.sos_eos,
+                               task_id=cfg.task_id, eos_token=cfg.eos_token,
+                               ignore_id=IGNORE_ID)
+    assert packed["ids"].shape[0] < len(exs), "expected real packing"
+    got = model.apply(params, *(jnp.asarray(packed[k]) for k in
+                                ("ids", "types", "positions", "seg",
+                                 "target")),
+                      method=Qwen2LM.packed_call)
+    np.testing.assert_allclose(float(got["loss"]), float(want["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(got["acc"]), float(want["acc"]),
+                               rtol=2e-5)
+
+
+def test_lsm_loss_closed_form_matches_onehot():
+    """The closed-form label-smoothing CE equals the one-hot KL
+    materialization it replaced (wenet LabelSmoothingLoss semantics)."""
+    from cosyvoice_tpu.models.llm import IGNORE_ID, masked_ce_loss
+
+    rng = np.random.default_rng(0)
+    V = 37
+    logits = jnp.asarray(rng.standard_normal((3, 11, V)).astype(np.float32))
+    target = rng.integers(0, V, (3, 11)).astype(np.int32)
+    target[:, :4] = IGNORE_ID
+    sm = 0.1
+    got = float(masked_ce_loss(logits, jnp.asarray(target), smoothing=sm))
+
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    conf, smv = 1.0 - sm, sm / (V - 1)
+    onehot = np.eye(V)[np.maximum(target, 0)]
+    true_dist = onehot * conf + (1.0 - onehot) * smv
+    nll = np.sum(true_dist * (np.log(true_dist) - logp), axis=-1)
+    valid = target != IGNORE_ID
+    want = float(np.sum(np.where(valid, nll, 0.0)) / valid.sum())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
