@@ -335,6 +335,103 @@ def lm_generate(model: Qwen2LM, params, text, text_len, prompt_speech,
                                    max_len, rng, max_steps, cache_len)
 
 
+class FusedGenState(NamedTuple):
+    """GenState twin for the whole-step decode kernel: the cache lives in
+    the kernel's stacked [L, C, kvH*D] layout instead of KVCache."""
+
+    kc: jax.Array
+    vc: jax.Array
+    prev_emb: jax.Array
+    step: jax.Array
+    count: jax.Array
+    done: jax.Array
+    out: jax.Array
+    recent: jax.Array
+    recent_n: jax.Array
+    rng: jax.Array
+
+
+def lm_step_supported(cfg: Qwen2Config) -> bool:
+    """Shapes/quant the whole-step kernel handles (Qwen2-0.5B serving)."""
+    return (cfg.quant == "int8" and cfg.head_dim in (64, 128)
+            and (cfg.num_kv_heads * cfg.head_dim) % 128 == 0
+            and cfg.hidden_size % 128 == 0
+            and cfg.num_heads % cfg.num_kv_heads == 0)
+
+
+@partial(jax.jit, static_argnames=("model", "max_steps", "cache_len",
+                                   "interpret"))
+def lm_generate_fused_step(model: Qwen2LM, params, step_w, text, text_len,
+                           prompt_speech, prompt_speech_len, min_len,
+                           max_len, rng, max_steps: int, cache_len: int,
+                           interpret: bool = False):
+    """B=1 generation with the persistent whole-step decode kernel
+    (ops/pallas/lm_step.py): prefill runs the normal flax path into a
+    head-major cache, which is repacked once into the kernel's stacked
+    [L, C, kvH*D] layout; every decode step is then ONE pallas_call (all
+    layers, weights streamed once) + the small head/sample/embed tail in
+    XLA.  step_w = pack_step_weights(params) (build once at load).
+    Sampling/stopping math is identical to lm_generate — greedy tokens
+    match it exactly at tiny scale (tests) and by argmax-agreement at 0.5B
+    (bench)."""
+    from cosyvoice_tpu.models.qwen2 import rms_norm, rope_cos_sin
+
+    cfg = model.cfg
+    q = cfg.qwen
+    assert text.shape[0] == 1, "fused-step decode is B=1"
+    embeds, seq_len = model.apply(params, text, text_len, prompt_speech,
+                                  prompt_speech_len,
+                                  method=Qwen2LM.prefill_embeds)
+    Tp = embeds.shape[1]
+    cache = KVCache.create(q, 1, cache_len, dtype=embeds.dtype)
+    bias = causal_prefill_bias(Tp, cache_len, seq_len, 1, embeds.dtype)
+    positions = jnp.broadcast_to(jnp.arange(Tp)[None], (1, Tp))
+    hidden, cache = model.apply(params, embeds, positions, bias, cache,
+                                method=Qwen2LM.forward_hidden)
+    last = jnp.take_along_axis(hidden, (seq_len - 1)[:, None, None], axis=1)
+
+    from cosyvoice_tpu.ops.pallas.lm_step import (cache_to_step_layout,
+                                                  lm_step_fused)
+
+    kc, vc = cache_to_step_layout(cache.k, cache.v, cache_len)
+    win = cfg.sampling.win_size
+    state = FusedGenState(
+        kc=kc, vc=vc,
+        prev_emb=jnp.zeros((1, 1, embeds.shape[-1]), embeds.dtype),
+        step=jnp.zeros((), jnp.int32), count=jnp.zeros((1,), jnp.int32),
+        done=jnp.zeros((1,), bool), out=jnp.zeros((1, max_steps), jnp.int32),
+        recent=jnp.zeros((1, win), jnp.int32),
+        recent_n=jnp.zeros((1,), jnp.int32), rng=rng)
+
+    sample_from, advance = _sample_advance(model, params)
+    tok0, rng0 = sample_from(last, state, min_len)
+    state = advance(state, tok0, rng0, max_len)
+
+    norm_w = params["params"]["llm"]["norm"]
+    nq, nkv, hd = q.num_heads, q.num_kv_heads, q.head_dim
+
+    def body(st: FusedGenState) -> FusedGenState:
+        pos = seq_len[0] + st.step - 1
+        x8 = jnp.pad(st.prev_emb[0], ((0, 7), (0, 0)))
+        cos, sin = rope_cos_sin(pos[None, None], hd, q.rope_theta)
+        y, nk, nv = lm_step_fused(step_w, x8, st.kc, st.vc, pos, cos[0],
+                                  sin[0], nq=nq, nkv=nkv, hd=hd,
+                                  eps=q.rms_norm_eps, interpret=interpret)
+        hid = rms_norm(y[0:1], norm_w, q.rms_norm_eps)[None]
+        kc = jax.vmap(lambda c, u: jax.lax.dynamic_update_slice(
+            c, u[None], (pos, 0)))(st.kc, nk)
+        vc = jax.vmap(lambda c, u: jax.lax.dynamic_update_slice(
+            c, u[None], (pos, 0)))(st.vc, nv)
+        tok, rng2 = sample_from(hid, st, min_len)
+        return advance(st._replace(kc=kc, vc=vc), tok, rng2, max_len)
+
+    def cond(st):
+        return (~jnp.all(st.done)) & (st.step < max_steps)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state.out, state.count
+
+
 def import_qwen2lm_torch(state_dict, cfg: LMConfig) -> dict:
     """reference Qwen2LM state_dict -> params (llm.model.model.* = qwen body)."""
     from cosyvoice_tpu.models.qwen2 import import_qwen2_torch

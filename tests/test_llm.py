@@ -363,3 +363,43 @@ def test_lm_fused_cache_decode_matches_baseline():
                                cache_len=64)
     np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_lm_generate_fused_step_greedy_parity():
+    """The whole-step-kernel decode driver (lm_generate_fused_step, Pallas
+    interpret mode) produces token-for-token the lm_generate output."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.llm import (LMConfig, Qwen2LM, SamplingConfig,
+                                          lm_generate, lm_generate_fused_step,
+                                          lm_step_supported)
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+    from cosyvoice_tpu.ops.pallas.lm_step import pack_step_weights
+    from cosyvoice_tpu.utils.quant import quantize_qwen_int8
+
+    qwen = Qwen2Config(vocab_size=80, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=2, head_dim=8,
+                       intermediate_size=64)
+    cfg = LMConfig(llm_input_size=32, llm_output_size=32, speech_token_size=24,
+                   qwen=dataclasses.replace(qwen, quant="int8"),
+                   sampling=SamplingConfig(method="greedy"))
+    model = Qwen2LM(cfg)
+    rng = np.random.default_rng(5)
+    t = jnp.asarray(rng.integers(0, 80, (1, 6)))
+    fp = Qwen2LM(dataclasses.replace(cfg, qwen=qwen)).init(
+        jax.random.PRNGKey(0), t, jnp.asarray([6]), t % 24, jnp.asarray([6]))
+    params = quantize_qwen_int8(fp)
+    sw = pack_step_weights(params, qwen.num_layers)
+
+    text = jnp.asarray(rng.integers(0, 80, (1, 7)))
+    psp = jnp.asarray(rng.integers(0, 24, (1, 5)))
+    args = (text, jnp.asarray([7]), psp, jnp.asarray([5]),
+            jnp.asarray([2]), jnp.asarray([40]), jax.random.PRNGKey(2))
+    want_out, want_cnt = lm_generate(model, params, *args, max_steps=48,
+                                     cache_len=128)
+    got_out, got_cnt = lm_generate_fused_step(model, params, sw, *args,
+                                              max_steps=48, cache_len=128,
+                                              interpret=True)
+    assert int(got_cnt[0]) == int(want_cnt[0])
+    np.testing.assert_array_equal(np.asarray(got_out[0][:int(got_cnt[0])]),
+                                  np.asarray(want_out[0][:int(want_cnt[0])]))

@@ -33,7 +33,11 @@ from cosyvoice_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-L, H, KV, INTER = 24, 896, 256, 4864   # Qwen2-0.5B: q 896, kv 2*128
+import os
+L = int(os.environ.get("PROBE_L", "24"))
+H = int(os.environ.get("PROBE_H", "896"))
+KV = 256
+INTER = int(os.environ.get("PROBE_I", "4864"))
 QKV = H + KV                            # 1152
 B = 8                                   # padded decode rows (sublane tile)
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 64
@@ -46,7 +50,10 @@ def qw(shape):
 
 
 def sc(shape):
-    return jnp.asarray((rng.random(shape) * 0.02 + 0.01).astype(np.float32))
+    # [L, 1, N]: Mosaic block shapes need the last two dims (8,128)-divisible
+    # or equal to the array dims; a [L, N] vector block (1, N) violates that
+    v = (rng.random(shape) * 0.02 + 0.01).astype(np.float32)
+    return jnp.asarray(v).reshape(shape[0], 1, shape[1])
 
 
 Wqkv, Sqkv = qw((L, H, QKV)), sc((L, QKV))
@@ -54,8 +61,8 @@ Wo, So = qw((L, H, H)), sc((L, H))
 Wg, Sg = qw((L, H, INTER)), sc((L, INTER))
 Wu, Su = qw((L, H, INTER)), sc((L, INTER))
 Wd, Sd = qw((L, INTER, H)), sc((L, H))
-norms1 = jnp.ones((L, H), jnp.float32)
-norms2 = jnp.ones((L, H), jnp.float32)
+norms1 = jnp.ones((L, 1, H), jnp.float32)
+norms2 = jnp.ones((L, 1, H), jnp.float32)
 
 BYTES = (Wqkv.nbytes + Wo.nbytes + Wg.nbytes + Wu.nbytes + Wd.nbytes)
 print(f"weights: {BYTES/1e6:.1f} MB int8 per step", flush=True)
@@ -97,23 +104,23 @@ def _kernel1(x_ref, wqkv, sqkv, wo, so, wg, sg, wu, su, wd, sd, n1, n2,
         y_ref[...] = x2.astype(y_ref.dtype)
 
 
-def step1(x):
+def step1(x, ws):
     lmap = lambda l: (l, 0, 0)
-    smap = lambda l: (l, 0)
+    smap = lambda l: (l, 0, 0)
     return pl.pallas_call(
         _kernel1,
         grid=(L,),
         in_specs=[pl.BlockSpec((B, H), lambda l: (0, 0)),
-                  pl.BlockSpec((1, H, QKV), lmap), pl.BlockSpec((1, QKV), smap),
-                  pl.BlockSpec((1, H, H), lmap), pl.BlockSpec((1, H), smap),
-                  pl.BlockSpec((1, H, INTER), lmap), pl.BlockSpec((1, INTER), smap),
-                  pl.BlockSpec((1, H, INTER), lmap), pl.BlockSpec((1, INTER), smap),
-                  pl.BlockSpec((1, INTER, H), lmap), pl.BlockSpec((1, H), smap),
-                  pl.BlockSpec((1, H), smap), pl.BlockSpec((1, H), smap)],
+                  pl.BlockSpec((1, H, QKV), lmap), pl.BlockSpec((1, 1, QKV), smap),
+                  pl.BlockSpec((1, H, H), lmap), pl.BlockSpec((1, 1, H), smap),
+                  pl.BlockSpec((1, H, INTER), lmap), pl.BlockSpec((1, 1, INTER), smap),
+                  pl.BlockSpec((1, H, INTER), lmap), pl.BlockSpec((1, 1, INTER), smap),
+                  pl.BlockSpec((1, INTER, H), lmap), pl.BlockSpec((1, 1, H), smap),
+                  pl.BlockSpec((1, 1, H), smap), pl.BlockSpec((1, 1, H), smap)],
         out_specs=pl.BlockSpec((B, H), lambda l: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
-    )(x, Wqkv, Sqkv, Wo, So, Wg, Sg, Wu, Su, Wd, Sd, norms1, norms2)
+    )(x, *ws)
 
 
 def _kernel4(x_ref, wqkv, sqkv, wo, so, wg, sg, wu, su, wd, sd, n1, n2,
@@ -153,48 +160,53 @@ def _kernel4(x_ref, wqkv, sqkv, wo, so, wg, sg, wu, su, wd, sd, n1, n2,
         y_ref[...] = xs[...].astype(y_ref.dtype)
 
 
-def step4(x):
+def step4(x, ws):
     # revolving prefetch: each operand's index advances to the next layer
     # right after its consuming phase, so every block is fetched once per
     # layer and the fetch overlaps the other phases' compute
     nx = lambda l: jnp.minimum(l + 1, L - 1)
     qkv_m = lambda l, p: (jnp.where(p >= 1, nx(l), l), 0, 0)
-    qkv_s = lambda l, p: (jnp.where(p >= 1, nx(l), l), 0)
+    qkv_s = lambda l, p: (jnp.where(p >= 1, nx(l), l), 0, 0)
     g_m = lambda l, p: (jnp.where(p >= 2, nx(l), l), 0, 0)
-    g_s = lambda l, p: (jnp.where(p >= 2, nx(l), l), 0)
+    g_s = lambda l, p: (jnp.where(p >= 2, nx(l), l), 0, 0)
     u_m = lambda l, p: (jnp.where(p >= 3, nx(l), l), 0, 0)
-    u_s = lambda l, p: (jnp.where(p >= 3, nx(l), l), 0)
+    u_s = lambda l, p: (jnp.where(p >= 3, nx(l), l), 0, 0)
     d_m = lambda l, p: (l, 0, 0)
-    d_s = lambda l, p: (l, 0)
+    d_s = lambda l, p: (l, 0, 0)
     return pl.pallas_call(
         _kernel4,
         grid=(L, 4),
         in_specs=[pl.BlockSpec((B, H), lambda l, p: (0, 0)),
-                  pl.BlockSpec((1, H, QKV), qkv_m), pl.BlockSpec((1, QKV), qkv_s),
-                  pl.BlockSpec((1, H, H), qkv_m), pl.BlockSpec((1, H), qkv_s),
-                  pl.BlockSpec((1, H, INTER), g_m), pl.BlockSpec((1, INTER), g_s),
-                  pl.BlockSpec((1, H, INTER), u_m), pl.BlockSpec((1, INTER), u_s),
-                  pl.BlockSpec((1, INTER, H), d_m), pl.BlockSpec((1, H), d_s),
-                  pl.BlockSpec((1, H), lambda l, p: (l, 0)),
-                  pl.BlockSpec((1, H), lambda l, p: (l, 0))],
+                  pl.BlockSpec((1, H, QKV), qkv_m), pl.BlockSpec((1, 1, QKV), qkv_s),
+                  pl.BlockSpec((1, H, H), qkv_m), pl.BlockSpec((1, 1, H), qkv_s),
+                  pl.BlockSpec((1, H, INTER), g_m), pl.BlockSpec((1, 1, INTER), g_s),
+                  pl.BlockSpec((1, H, INTER), u_m), pl.BlockSpec((1, 1, INTER), u_s),
+                  pl.BlockSpec((1, INTER, H), d_m), pl.BlockSpec((1, 1, H), d_s),
+                  pl.BlockSpec((1, 1, H), lambda l, p: (l, 0, 0)),
+                  pl.BlockSpec((1, 1, H), lambda l, p: (l, 0, 0))],
         out_specs=pl.BlockSpec((B, H), lambda l, p: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, INTER), jnp.float32),
                         pltpu.VMEM((B, INTER), jnp.float32)],
-    )(x, Wqkv, Sqkv, Wo, So, Wg, Sg, Wu, Su, Wd, Sd, norms1, norms2)
+    )(x, *ws)
+
+
+WS = (Wqkv, Sqkv, Wo, So, Wg, Sg, Wu, Su, Wd, Sd, norms1, norms2)
 
 
 def timed(name, step):
+    # weights as jit ARGUMENTS — closure-captured they bake into the HLO as
+    # 358 MB of literals and the remote compiler rejects the upload (413)
     @jax.jit
-    def loop(x):
+    def loop(x, ws):
         def body(h, _):
-            return step(h), None
+            return step(h, ws), None
         return jax.lax.scan(body, x, None, length=N)[0]
 
     x0 = jnp.asarray(rng.standard_normal((B, H)) * 0.05, jnp.bfloat16)
     try:
-        out = loop(x0)
+        out = loop(x0, WS)
         float(jnp.sum(jnp.abs(out).astype(jnp.float32)))
     except Exception as e:
         print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}", flush=True)
@@ -202,7 +214,7 @@ def timed(name, step):
     ts = []
     for _ in range(3):
         t0 = time.time()
-        out = loop(x0)
+        out = loop(x0, WS)
         float(jnp.sum(jnp.abs(out).astype(jnp.float32)))
         ts.append(time.time() - t0)
     us = min(ts) / N * 1e6
