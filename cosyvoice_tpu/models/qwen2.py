@@ -56,6 +56,18 @@ class Qwen2Config:
     # the kernel is in-place, lane-exact, and skips the unwritten tail.
     # TPU serving lever; numerically identical (greedy-token parity tested).
     fused_cache_update: bool = False
+    # gradient rematerialization per layer (training): naive attention saves
+    # [B, H, N, N] scores+probabilities per layer for backward — beyond
+    # bs 8 x seq 450 that exhausts HBM.  Forward/inference unaffected;
+    # loss/grads identical (tested).
+    #   remat=True, remat_policy="scores" (default): save every residual
+    #     EXCEPT the tagged [.., N, N] score/prob tensors — backward
+    #     recomputes only the attention-score chain (~15% extra FLOPs).
+    #   remat_policy="all": recompute the whole layer (max memory savings;
+    #     measured ~2x step cost on this backend — use when even q/k/v
+    #     activations don't fit).
+    remat: bool = False
+    remat_policy: str = "scores"
 
 
 class KVCache(NamedTuple):
@@ -144,6 +156,9 @@ class QDense(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
         return y
+
+
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -250,7 +265,11 @@ class Qwen2Layer(nn.Module):
             scores = jnp.einsum("bikgd,bkjd->bkgij", qg, k_all,
                                 preferred_element_type=jnp.float32) / np.sqrt(HD)
             scores = scores + bias[:, :, None, :, :]
+            # tagged for the "scores" remat policy: the [.., T, T] tensors
+            # are the only ones worth recomputing in backward
+            scores = _checkpoint_name(scores, "attn_scores")
             attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            attn = _checkpoint_name(attn, "attn_probs")
             o = jnp.einsum("bkgij,bkjd->bikgd", attn, v_all).reshape(B, T, H * HD)
         x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="o_proj")(o)
 
@@ -272,7 +291,16 @@ class Qwen2Model(nn.Module):
     def setup(self):
         self.embed_tokens = nn.Embed(self.cfg.vocab_size, self.cfg.hidden_size,
                                      name="embed_tokens")
-        self.layers = [Qwen2Layer(self.cfg, name=f"layers_{i}")
+        if not self.cfg.remat:
+            layer_cls = Qwen2Layer
+        elif self.cfg.remat_policy == "scores":
+            layer_cls = nn.remat(
+                Qwen2Layer,
+                policy=jax.checkpoint_policies.save_anything_except_these_names(
+                    "attn_scores", "attn_probs"))
+        else:
+            layer_cls = nn.remat(Qwen2Layer)
+        self.layers = [layer_cls(self.cfg, name=f"layers_{i}")
                        for i in range(self.cfg.num_layers)]
         self.norm_w = self.param("norm", nn.initializers.ones, (self.cfg.hidden_size,))
 

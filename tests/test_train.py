@@ -202,3 +202,43 @@ def test_lsm_loss_closed_form_matches_onehot():
     valid = target != IGNORE_ID
     want = float(np.sum(np.where(valid, nll, 0.0)) / valid.sum())
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_remat_packed_step_matches_no_remat():
+    """qwen.remat recomputes layers in backward; loss and grads match the
+    non-remat step (param tree unchanged)."""
+    import dataclasses
+
+    import optax
+
+    from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+    from cosyvoice_tpu.train.packing import (pack_llm_examples,
+                                             packed_llm_loss_fn)
+
+    qwen = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=2, head_dim=8,
+                       intermediate_size=64)
+    cfg = LMConfig(llm_input_size=32, llm_output_size=32,
+                   speech_token_size=16, qwen=qwen)
+    rng = np.random.default_rng(1)
+    exs = [(rng.integers(0, 64, 5).astype(np.int32),
+            rng.integers(0, 16, 7).astype(np.int32)) for _ in range(3)]
+    packed = pack_llm_examples(exs, row_len=32, eos_token=cfg.eos_token)
+    batch = {k: jnp.asarray(v) for k, v in packed.items() if k != "n_tokens"}
+
+    m0 = Qwen2LM(cfg)
+    m1 = Qwen2LM(dataclasses.replace(
+        cfg, qwen=dataclasses.replace(qwen, remat=True)))
+    m2 = Qwen2LM(dataclasses.replace(
+        cfg, qwen=dataclasses.replace(qwen, remat=True,
+                                      remat_policy="all")))
+    t = jnp.asarray(rng.integers(0, 64, (1, 5)))
+    params = m0.init(jax.random.PRNGKey(0), t, jnp.asarray([5]), t % 16,
+                     jnp.asarray([5]))
+    # remat model loads the same tree
+    g0 = jax.grad(lambda p: packed_llm_loss_fn(m0)(p, batch, None)[0])(params)
+    for m in (m1, m2):   # "scores" policy and full recompute
+        g1 = jax.grad(lambda p: packed_llm_loss_fn(m)(p, batch, None)[0])(params)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5), g0, g1)
