@@ -4,13 +4,20 @@ Runs the full-size CosyVoice2 stack (Qwen2-0.5B LM -> flow -> HiFT) with
 SEEDED fan-in-scaled random weights (not zeros: int8/int4 scales are then
 non-degenerate and the reported quantization greedy-agreement is meaningful;
 TPU timing itself is data-independent): a single-stream run (latency RTF,
-packed-int4 LM — decode is weight-HBM-bound and B=1 amortizes nothing) and a
-batched serving run (B utterances decoded concurrently, int8 LM — the
-per-chip throughput number that matters for production serving).  LM KV runs
-bf16 (fp32 softmax/norms); flow + vocoder bf16 on TPU.
+int8 LM — decode is weight-HBM-bound and B=1 amortizes nothing; int4 loses
+at B=1 to per-call overhead, see the lm_cfg_b1 note below) and a batched
+serving run (B utterances decoded concurrently, int8 LM — the per-chip
+throughput number that matters for production serving).  LM KV runs bf16
+(fp32 softmax/norms); flow + vocoder bf16 on TPU.
 
 Baseline target (BASELINE.md): >50x real-time per TPU v5e chip;
-vs_baseline = value / 50.  Prints ONE JSON line.
+vs_baseline = value / 50.
+
+Emits a CUMULATIVE JSON line after EVERY section (the driver parses the
+LAST parseable line, so a timeout still leaves every completed section's
+numbers on record — round-4's single end-only print lost the whole run to
+rc 124).  `sections_done` names what completed.  Section order puts the
+headline serving numbers first and training last.
 """
 import json
 import os
@@ -23,12 +30,24 @@ import jax
 import jax.numpy as jnp
 
 N_TOKENS = 500            # 20 s of audio per utterance at 25 Hz
-BATCHES = (8, 32, 64)     # LM decode is weight-bound, so it amortizes with B
-                          # (B=128 exhausts v5e HBM)
+BATCHES = (8, 64)         # LM decode is weight-bound, so it amortizes with B
+                          # (B=128 exhausts v5e HBM; B=32 removed r5 — it
+                          # tracked B=64 within 5% for 3 rounds)
+
+RESULT = {"metric": "full text->wav audio-seconds/s per chip",
+          "value": 0.0, "unit": "audio_s/s", "vs_baseline": 0.0,
+          "sections_done": []}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit(section, **fields):
+    """Record a finished section and print the cumulative JSON line."""
+    RESULT.update(fields)
+    RESULT["sections_done"] = RESULT["sections_done"] + [section]
+    print(json.dumps(RESULT), flush=True)
 
 
 def main():
@@ -62,15 +81,17 @@ def main():
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8",
                                              fused_cache_update=True))
-        # single stream stays int8: packed int4 halves the weight bytes
-        # again, but per-projection Pallas-call overhead inside the decode
-        # while_loop (24 layers x 7 projections x 500 steps) costs MORE than
-        # the saved bandwidth — measured 1.12 s vs int8's 0.36 s for the B=1
-        # LM stage — and naive RTN int4 argmax agreement at the full 0.5B
-        # scale is 0.15 vs int8's 0.94 (teacher-forced, fan-in-scaled random
-        # weights; the tiny-model gate in tests/test_llm.py still holds).
-        # int4 stays a from_pretrained lever; making it win needs a fused
-        # per-layer (or persistent whole-step) decode kernel.
+        # single stream ALSO int8 (not int4): packed int4 halves the weight
+        # bytes again, but per-projection Pallas-call overhead inside the
+        # decode while_loop (24 layers x 7 projections x 500 steps) costs
+        # MORE than the saved bandwidth — measured 1.12 s vs int8's 0.36 s
+        # for the B=1 LM stage — and naive RTN int4 argmax agreement at the
+        # full 0.5B scale is 0.15 vs int8's 0.94 (teacher-forced,
+        # fan-in-scaled random weights; the tiny-model gate in
+        # tests/test_llm.py still holds).  int4 stays a from_pretrained
+        # lever; making it win needs either a fused per-layer decode kernel
+        # (measured dead on this backend's Pallas DMA) or an XLA-native
+        # dequant path.
         # The fused cache kernel's fixed per-call cost only amortizes at
         # B >= ~8, so B=1 also stays on the plain head-major cache path.
         lm_cfg_b1 = dataclasses.replace(
@@ -148,7 +169,7 @@ def main():
     # greedy trajectory is chaotic under ANY perturbation, per-position
     # argmax is the stable gate — tests/test_llm.py int4 note)
     agree8 = agree4 = 1.0
-    if on_tpu:
+    if on_tpu and os.environ.get("BENCH_ONLY", "") in ("", "batch"):
         from cosyvoice_tpu.models.qwen2 import causal_prefill_bias
 
         gen = jnp.asarray(rng.integers(0, 6561, (1, 100)))
@@ -177,7 +198,6 @@ def main():
         log(f"greedy agreement vs bf16 (teacher-forced argmax, 100 steps): "
             f"int8 {agree8:.3f}, int4 {agree4:.3f}")
         del llm_params_i4
-    del llm_params_fp  # free the bf16 tree before the big timing runs
 
     @jax.jit
     def flow_infer(params, token, token_len, prompt_feat, emb):
@@ -192,37 +212,36 @@ def main():
     prompt_feat1 = jnp.asarray((rng.standard_normal((1, 100, 80)) * 0.3).astype(np.float32))
     emb1 = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
 
-    stages = os.environ.get("BENCH_STAGES", "") not in ("", "0")
-
-    def sync(x, name):
-        if stages:
-            t0 = time.time()
-            float(jnp.sum(jnp.abs(x[:1, :8])))
-            log(f"    [{name} done @ +{time.time() - t0:.2f}s]")
-        return x
-
-    def run(B, seed):
+    def run(B, seed, stage_times=None):
         text = jnp.tile(text1, (B, 1))
         psp = jnp.tile(psp1, (B, 1))
         n = jnp.full((B,), N_TOKENS)
         cache_len = ((2 + 25 + 50 + N_TOKENS + 127) // 128) * 128
+        t0 = time.time()
         out, count = lm_generate(llm if B >= 8 else llm_b1,
                                  llm_params if B >= 8 else llm_params_b1,
                                  text, jnp.full((B,), 25),
                                  psp, jnp.full((B,), 50), n, n,
                                  jax.random.PRNGKey(seed), max_steps=N_TOKENS,
                                  cache_len=cache_len)
-        sync(out, "lm")
+        if stage_times is not None:
+            float(jnp.sum(out[:1, :8]))
+            stage_times["lm"] = time.time() - t0
+            t0 = time.time()
         tok = jnp.concatenate([psp, out], axis=1)
         mel = flow_infer(flow_params, tok, jnp.full((B,), 50 + N_TOKENS),
                          jnp.tile(prompt_feat1, (B, 1, 1)), jnp.tile(emb1, (B, 1)))
-        sync(mel, "flow")
+        if stage_times is not None:
+            float(jnp.sum(jnp.abs(mel[:1, :2, :8])))
+            stage_times["flow"] = time.time() - t0
+            t0 = time.time()
         wav, _ = hift_infer(hift_params, mel, jax.random.PRNGKey(seed))
         # force a real device->host read: through the remote-TPU tunnel,
         # block_until_ready alone does not observably wait for completion
         float(jnp.sum(jnp.abs(wav[:, ::1000])))
+        if stage_times is not None:
+            stage_times["hift"] = time.time() - t0
         return wav
-
 
     # Peaks MEASURED on this chip (dependent-chain scans with forced host
     # reads; see round-3 notes): 8k^3 bf16 matmul ~610 TF/s, int8 ~858 TOP/s,
@@ -254,17 +273,44 @@ def main():
             f"{PEAK_TFS:.0f} TF/s if it had the whole {dt:.2f}s; attention "
             f"is depth-64 -> ~25% MXU ceiling); LM decode reads ~{lm_gb:.0f} "
             f"GB int8 weights ({lm_gb / dt / PEAK_GBS * 100:.0f}% of measured "
-            f"HBM peak at full duration) — BENCH_STAGES=1 for the split")
+            f"HBM peak at full duration)")
 
-    only = os.environ.get("BENCH_ONLY", "")  # "", "batch", "ragged", "stream"
+    only = os.environ.get("BENCH_ONLY", "")  # "", "batch", "ragged",
+    #                                          "stream", "engine", "train"
+    emit("init", greedy_agree_int8=round(agree8, 3),
+         greedy_agree_int4=round(agree4, 3))
 
+    # ---- single stream + per-stage split (round-4 VERDICT #4: publish the
+    # B=1 stage seconds so the non-LM 60% of the pipeline is visible)
     results = {1: 0.0}
-    for B in ((1,) + BATCHES if only in ("", "batch") else ()):
+    if only in ("", "batch"):
+        log("B=1: warmup/compile...")
+        wav = run(1, 0)
+        assert np.isfinite(np.asarray(wav)).all(), "non-finite waveform"
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            wav = run(1, i + 1)
+            times.append(time.time() - t0)
+        dt = min(times)
+        audio_s = wav.shape[1] / 24000.0
+        results[1] = audio_s / dt
+        log(f"B=1: {dt:.2f}s for {audio_s:.0f}s audio -> {results[1]:.1f}x realtime")
+        st: dict = {}
+        run(1, 3, stage_times=st)   # staged run (adds sync reads, not timed)
+        log(f"B=1 stage split: lm {st['lm']:.3f}s, flow {st['flow']:.3f}s, "
+            f"hift {st['hift']:.3f}s")
+        emit("b1", single_stream_x=round(results[1], 2),
+             b1_lm_s=round(st["lm"], 3), b1_flow_s=round(st["flow"], 3),
+             b1_hift_s=round(st["hift"], 3))
+
+    # ---- batched serving
+    for B in (BATCHES if only in ("", "batch") else ()):
         log(f"B={B}: warmup/compile...")
         wav = run(B, 0)
         assert np.isfinite(np.asarray(wav)).all(), "non-finite waveform"
         times = []
-        for i in range(3):
+        for i in range(2):
             t0 = time.time()
             wav = run(B, i + 1)
             times.append(time.time() - t0)
@@ -275,8 +321,21 @@ def main():
         if B == BATCHES[-1]:
             roofline(B, dt)
 
-    best_b = max(results, key=results.get)
-    value = results[best_b]
+    if only in ("", "batch"):
+        best_b = max(results, key=results.get)
+        value = results[best_b]
+        # metric string is GENERATED from the configs actually timed (round-3
+        # VERDICT weak #3: a hand-written label drifted from the code)
+        q_batch = lm_cfg.qwen.quant if on_tpu else "fp32"
+        q_single = lm_cfg_b1.qwen.quant if on_tpu else "fp32"
+        lm_lbl = (f"{q_batch} LM" if q_batch == q_single
+                  else f"{q_batch} LM batch / {q_single} LM single")
+        emit("batch",
+             metric=(f"full text->wav audio-seconds/s per chip "
+                     f"({lm_lbl}, bf16 flow, "
+                     f"B={best_b} serving; 1-stream {results[1]:.1f}x)"),
+             value=round(value, 2), vs_baseline=round(value / 50.0, 3),
+             batch8_x=round(results.get(8, 0.0), 2))
 
     # ---- ragged serving batch (round-1 VERDICT bench-methodology gap):
     # per-row decode lengths 350..500 tokens; audio credited = emitted only.
@@ -298,7 +357,6 @@ def main():
         float(jnp.sum(jnp.abs(wav[:, ::1000])))
         return float(jnp.sum(count))
 
-    ragged_rt = 0.0
     if only in ("", "ragged"):
         B = BATCHES[-1]
         log(f"ragged B={B}: warmup/compile...")
@@ -311,6 +369,7 @@ def main():
         ragged_rt = (n_emitted / 25.0) / min(times)
         log(f"ragged B={B}: {min(times):.2f}s for {n_emitted / 25.0:.0f}s audio "
             f"-> {ragged_rt:.1f}x realtime")
+        emit("ragged", ragged_bmax_x=round(ragged_rt, 2))
 
     # ---- streaming latency (TTFB): B=1 through the chunked orchestrator —
     # the reference's first-chunk budget is 2 s (cli/model.py:312,384-396)
@@ -333,7 +392,6 @@ def main():
         t0 = time.time()
         ttfb = None
         total = 0
-        chunk_times = []
         for out in smodel.tts(
                 text_tokens=np.asarray(text1[0]), prompt_text_len=0,
                 llm_prompt_speech_token=np.asarray(psp1[0]),
@@ -344,15 +402,30 @@ def main():
             now = time.time()
             if ttfb is None:
                 ttfb = now - t0
-            chunk_times.append(now - t0)
             total += len(out["tts_speech"])
         return ttfb, total / 24000.0, time.time() - t0
 
+    if only in ("", "stream"):
+        log("stream B=1: warmup/compile...")
+        t0 = time.time()
+        stream_run(0)
+        log(f"stream warmup done in {time.time() - t0:.1f}s")
+        ttfbs, rts = [], []
+        for i in range(2):
+            ttfb, audio_s, dt = stream_run(i + 1)
+            ttfbs.append(ttfb)
+            rts.append(audio_s / dt)
+        ttfb_ms = min(ttfbs) * 1000.0
+        stream_rt = max(rts)
+        log(f"stream B=1: TTFB {ttfb_ms:.0f} ms (budget 2000), "
+            f"{stream_rt:.1f}x realtime streaming")
+        emit("stream", stream_ttfb_ms=round(ttfb_ms, 1),
+             stream_rt_x=round(stream_rt, 2))
+
     # ---- N concurrent streaming sessions on the continuous engine
     # (round-1 VERDICT #4: serving-side streaming throughput + TTFB under
-    # load).  8 sessions share the slot engine; chunk jobs flush as ragged
+    # load).  Sessions share the slot engine; chunk jobs flush as ragged
     # batched flow calls.
-    engine_x = engine_ttfb_ms = engine16_x = engine16_ttfb_ms = engine_spread = 0.0
     if only in ("", "engine"):
         import dataclasses as _dc2
 
@@ -374,7 +447,8 @@ def main():
                       llm_params=llm_params, flow_params=flow_params,
                       hift_params=hift_params, max_decode_tokens=etokens,
                       flow_context_tokens=250)
-        def engine_measure(n_sessions):
+
+        def engine_measure(n_sessions, warm_ladder):
             reqs = [TTSRequest(text_tokens=np.asarray(text1[0]),
                                prompt_text_len=0,
                                prompt_speech_tokens=np.asarray(psp1[0]),
@@ -400,15 +474,15 @@ def main():
                 return audio / dt, float(np.mean(list(first.values()))) * 1000.0
 
             log(f"engine {n_sessions}-stream: warmup/compile...")
-            # warm every power-of-two group size: per-slot emitted counts
-            # drift under RAS (non-emitted fill ids), so a flush group can
-            # split into any padded size 1..n_sessions at any chunk-stage
-            # bucket — the same rounds serve.py's warmup_continuous drives
-            k = 1
-            while k <= n_sessions:
-                synth.synthesize_batch(reqs[:k], rng=jax.random.PRNGKey(0))
-                k *= 2
-            engine_run(0)
+            # flow flush groups pad to power-of-two sizes and the flow/vocode
+            # programs are SHARED across synthesizers (module-level jits +
+            # one emodel), so pow2 group sizes < n_sessions warmed by an
+            # earlier engine section stay warm — only the first section runs
+            # the full 1,2,4,... ladder; later sections warm just their own
+            # top size (engine admit/segment programs at the new slot count
+            # plus the group-n_sessions flow programs) in one run.
+            for kk in warm_ladder:
+                synth.synthesize_batch(reqs[:kk], rng=jax.random.PRNGKey(0))
             xs, tt = zip(*(engine_run(i + 1) for i in range(2)))
             spread = abs(xs[0] - xs[1]) / max(xs)
             log(f"engine {n_sessions}-stream: {max(xs):.1f}x realtime "
@@ -416,19 +490,39 @@ def main():
                 f"{spread * 100:.0f}%), mean TTFB {min(tt):.0f} ms")
             return max(xs), min(tt), spread
 
+        def ladder(n):
+            out, kk = [], 1
+            while kk < n:
+                out.append(kk)
+                kk *= 2
+            return out + [n]   # top round at exactly n warms the ceil bucket
+                               # even when n is not a power of two (ADVICE r4)
+
         sess_override = int(os.environ.get("BENCH_ENGINE_SESSIONS", "0"))
         if sess_override:  # profiling hook (tools/profile_engine.py)
-            engine_x, engine_ttfb_ms, engine_spread = engine_measure(sess_override)
+            x, t, s = engine_measure(sess_override, ladder(sess_override))
+            emit("engine", engine_8stream_x=round(x, 2),
+                 engine_ttfb_ms=round(t, 1), engine_8stream_spread=round(s, 3))
         else:
-            engine_x, engine_ttfb_ms, engine_spread = engine_measure(8)
-            # scale story: flow chunk groups batch wider with more sessions
-            engine16_x, engine16_ttfb_ms, _ = engine_measure(16)
+            x8, t8, s8 = engine_measure(8, ladder(8))
+            emit("engine8", engine_8stream_x=round(x8, 2),
+                 engine_ttfb_ms=round(t8, 1),
+                 engine_8stream_spread=round(s8, 3))
+            # scale story: flow chunk groups batch wider with more sessions;
+            # smaller pow2 groups are already warm from the 8-stream ladder
+            x16, t16, _ = engine_measure(16, [16])
+            emit("engine16", engine_16stream_x=round(x16, 2),
+                 engine_16stream_ttfb_ms=round(t16, 1))
+            x32, t32, _ = engine_measure(32, [32])
+            emit("engine32", engine_32stream_x=round(x32, 2),
+                 engine_32stream_ttfb_ms=round(t32, 1))
 
     # ---- training throughput (round-2 VERDICT #4: BASELINE's scaling axis
     # had zero training numbers): one-chip LLM + flow train steps at
     # production-like shapes (llm: static bs 8, SURVEY appendix; flow: ~6.4k
-    # mel frames/batch), fwd+bwd+clip+adamw in one jit each.
-    train_llm_tok_s = train_llm_mfu = train_flow_frames_s = packed_tok_s = 0.0
+    # mel frames/batch), fwd+bwd+clip+adamw in one jit each.  LAST: training
+    # numbers are the least timeout-critical (every serving section has
+    # already emitted).
     if only in ("", "train"):
         import optax
 
@@ -451,7 +545,7 @@ def main():
             "text_token_len": jnp.full((Bt,), Tt, jnp.int32),
             "speech_token": jnp.asarray(rng.integers(0, 6561, (Bt, Ts))),
             "speech_token_len": jnp.full((Bt,), Ts, jnp.int32)}
-        # donate=False: flow_params are reused by the serving sections below
+        # donate=False: flow_params are reused by the serving sections above
         step_llm = make_train_step(llm_loss_fn(llm_tr), tx, donate=False)
         st = make_train_state(llm_tr_params, tx)
         log("train llm: warmup/compile...")
@@ -494,16 +588,15 @@ def main():
         packed = pack_llm_examples(exs, row_len=ROW, eos_token=6561 + 2)
         batch_packed = {k: jnp.asarray(v) for k, v in packed.items()
                        if k != "n_tokens"}
-        # remat: at 2048-token rows the naive attention's saved [B,H,N,N]
-        # scores/probabilities alone are tens of GB; per-layer recompute
-        # trades those for layer-boundary activations (loss identical).
-        # remat_policy="all": the selective "scores" policy (recompute only
-        # the score chain) crashes this backend's remote compiler (HTTP 500,
-        # tools/probe_train_cfg.py) — on healthy backends it is the right
-        # default and costs ~15% instead of ~2x.
+        # blockwise attention (qwen.block_attention): lax.scan over KV blocks
+        # with a running max/denominator — no [B,H,N,N] materialization, so
+        # long packed rows fit WITHOUT full-layer remat (round-4 VERDICT #3:
+        # the OOM and the dead selective-remat policy both traced to the
+        # materialized scores).  Grad-equivalence vs the naive forward:
+        # tests/test_train.py::test_block_attention_grads_match.
         llm_tr_pack = Qwen2LM(dataclasses.replace(
-            lm_cfg_tr, qwen=dataclasses.replace(lm_cfg_tr.qwen, remat=True,
-                                                remat_policy="all")))
+            lm_cfg_tr, qwen=dataclasses.replace(lm_cfg_tr.qwen,
+                                                block_attention=True)))
         step_packed = make_train_step(packed_llm_loss_fn(llm_tr_pack), tx,
                                       donate=False)
         stp = make_train_state(llm_tr_params, tx)
@@ -515,16 +608,10 @@ def main():
         toks_p = packed["n_tokens"]
         packed_tok_s = toks_p / dtp
         packed_mfu = 6.0 * n_par * toks_p / dtp / (PEAK_TFS * 1e12)
-        log(f"train llm packed+remat ({Bp_rows} rows x {ROW}, {toks_p} real "
-            f"tokens): {dtp*1e3:.0f} ms/step, {packed_tok_s:.0f} tok/s, "
+        log(f"train llm packed+blockwise ({Bp_rows} rows x {ROW}, {toks_p} "
+            f"real tokens): {dtp*1e3:.0f} ms/step, {packed_tok_s:.0f} tok/s, "
             f"MFU {packed_mfu*100:.0f}%")
-        # headline = the faster measured config on THIS backend.  The config
-        # sweep (tools/probe_train_cfg.py) measured: bs8 unpacked 19.4% MFU
-        # (best), full-layer remat saturating ~16% at any batch, the
-        # selective scores remat policy crashing this compiler, and
-        # no-remat OOM beyond bs8 — so unpacked bs8 stays the production
-        # config here while packing+remat (loss-exact, tested) is the right
-        # config where selective remat compiles.
+        # headline = the faster measured config on THIS backend
         if unpacked_tok_s >= packed_tok_s:
             train_llm_tok_s, train_llm_mfu = unpacked_tok_s, unpacked_mfu
         else:
@@ -561,50 +648,10 @@ def main():
         log(f"train flow (bs {Bf}, {Tmel} mel frames/utt): "
             f"{dtf*1e3:.0f} ms/step, {train_flow_frames_s:.0f} mel frames/s")
         del stf
-
-    ttfb_ms = stream_rt = 0.0
-    if only in ("", "stream"):
-        log("stream B=1: warmup/compile...")
-        t0 = time.time()
-        stream_run(0)
-        log(f"stream warmup done in {time.time() - t0:.1f}s")
-        ttfbs, rts = [], []
-        for i in range(2):
-            ttfb, audio_s, dt = stream_run(i + 1)
-            ttfbs.append(ttfb)
-            rts.append(audio_s / dt)
-        ttfb_ms = min(ttfbs) * 1000.0
-        stream_rt = max(rts)
-        log(f"stream B=1: TTFB {ttfb_ms:.0f} ms (budget 2000), "
-            f"{stream_rt:.1f}x realtime streaming")
-
-    # metric string is GENERATED from the configs actually timed (round-3
-    # VERDICT weak #3: a hand-written label drifted from the code)
-    q_batch = lm_cfg.qwen.quant if on_tpu else "fp32"
-    q_single = lm_cfg_b1.qwen.quant if on_tpu else "fp32"
-    lm_lbl = (f"{q_batch} LM" if q_batch == q_single
-              else f"{q_batch} LM batch / {q_single} LM single")
-    print(json.dumps({
-        "metric": (f"full text->wav audio-seconds/s per chip "
-                   f"({lm_lbl}, bf16 flow, "
-                   f"B={best_b} serving; 1-stream {results[1]:.1f}x)"),
-        "value": round(value, 2), "unit": "audio_s/s",
-        "vs_baseline": round(value / 50.0, 3),
-        "single_stream_x": round(results[1], 2),
-        "greedy_agree_int8": round(agree8, 3),
-        "greedy_agree_int4": round(agree4, 3),
-        "ragged_bmax_x": round(ragged_rt, 2),
-        "stream_ttfb_ms": round(ttfb_ms, 1),
-        "stream_rt_x": round(stream_rt, 2),
-        "engine_8stream_x": round(engine_x, 2),
-        "engine_8stream_spread": round(engine_spread, 3),
-        "engine_ttfb_ms": round(engine_ttfb_ms, 1),
-        "engine_16stream_x": round(engine16_x, 2),
-        "engine_16stream_ttfb_ms": round(engine16_ttfb_ms, 1),
-        "train_llm_tok_s": round(train_llm_tok_s, 1),
-        "train_llm_packed_tok_s": round(packed_tok_s, 1),
-        "train_llm_mfu": round(train_llm_mfu, 3),
-        "train_flow_frames_s": round(train_flow_frames_s, 1)}))
+        emit("train", train_llm_tok_s=round(train_llm_tok_s, 1),
+             train_llm_packed_tok_s=round(packed_tok_s, 1),
+             train_llm_mfu=round(train_llm_mfu, 3),
+             train_flow_frames_s=round(train_flow_frames_s, 1))
 
 
 if __name__ == "__main__":

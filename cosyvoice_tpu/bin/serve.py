@@ -318,9 +318,13 @@ def warmup_continuous(worker, num_slots: int) -> float:
     rng = np.random.default_rng(0)
     prompt = (rng.standard_normal(16000) * 0.05).astype(np.float32)  # 1 s
     rounds, k = [], 1
-    while k <= num_slots:
+    while k < num_slots:
         rounds.append(k)
         k *= 2
+    # final round at exactly num_slots: with a non-power-of-two slot count
+    # (e.g. 6) the full-load flush pads to the pow2 CEILING (8), which the
+    # 1,2,4 ladder alone never drives (ADVICE r4)
+    rounds.append(num_slots)
     try:
         for k in rounds:
             outs = [worker.submit("zero_shot",

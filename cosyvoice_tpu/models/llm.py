@@ -183,7 +183,10 @@ class Qwen2LM(nn.Module):
 
         Attention is BLOCK-DIAGONAL causal (same-seg & causal & non-pad), so
         the loss equals the unpacked __call__ on the same examples exactly
-        (same valid-position set -> same masked-CE mean; test_train.py)."""
+        (same valid-position set -> same masked-CE mean; test_train.py).
+        With length_normalized_loss=False the divisor is the EXAMPLE count
+        (sum of per-row max seg id), matching the unpacked step's batch-size
+        divisor — not the packed row count (ADVICE r4)."""
         cfg = self.cfg
         B, N = ids.shape
         te = self.llm.embed(jnp.where(types == 1, ids, 0))
@@ -198,13 +201,19 @@ class Qwen2LM(nn.Module):
                          ).astype(emb.dtype)[:, None]
         hidden, _ = self.llm(emb, positions, bias)
         logits = self.llm_decoder(hidden)
+        denom = None if cfg.length_normalized_loss \
+            else jnp.sum(jnp.max(seg, axis=1))
         return {"loss": masked_ce_loss(logits, target, cfg.lsm_weight,
-                                       cfg.length_normalized_loss),
+                                       cfg.length_normalized_loss,
+                                       denom=denom),
                 "acc": masked_accuracy(logits, target)}
 
 
-def masked_ce_loss(logits, target, smoothing=0.0, length_normalized=True):
-    """wenet LabelSmoothingLoss semantics with IGNORE_ID masking."""
+def masked_ce_loss(logits, target, smoothing=0.0, length_normalized=True,
+                   denom=None):
+    """wenet LabelSmoothingLoss semantics with IGNORE_ID masking.  `denom`
+    overrides the divisor (packed batches pass their true example count when
+    length_normalized is False — rows != examples there)."""
     V = logits.shape[-1]
     valid = target != IGNORE_ID
     tgt = jnp.maximum(target, 0)
@@ -226,7 +235,8 @@ def masked_ce_loss(logits, target, smoothing=0.0, length_normalized=True):
     else:
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
-    denom = jnp.sum(valid) if length_normalized else logits.shape[0]
+    if denom is None:
+        denom = jnp.sum(valid) if length_normalized else logits.shape[0]
     return jnp.sum(nll) / jnp.maximum(denom, 1)
 
 

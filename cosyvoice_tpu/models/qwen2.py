@@ -68,6 +68,16 @@ class Qwen2Config:
     #     activations don't fit).
     remat: bool = False
     remat_policy: str = "scores"
+    # blockwise (flash-structure) attention for cache-less forwards
+    # (training / teacher-forcing): lax.scan over KV blocks with a running
+    # max/normalizer and a custom_vjp backward (ops/block_attention.py) —
+    # nothing quadratic in T is saved, so long packed rows train WITHOUT
+    # full-layer remat (round-4 VERDICT #3: the bs16 OOM and the dead
+    # selective-remat policy both traced to the materialized [B,H,N,N]
+    # scores).  Decode/cached paths unaffected.  Forward/grad equivalence:
+    # tests/test_train.py::test_block_attention_*.
+    block_attention: bool = False
+    attention_block: int = 256
 
 
 class KVCache(NamedTuple):
@@ -261,16 +271,27 @@ class Qwen2Layer(nn.Module):
                 k_all, v_all = ck.astype(x.dtype), cv.astype(x.dtype)
                 new_cache = (ck, cv)
                 bias = attn_bias
-            qg = q.reshape(B, T, KH, g, HD)
-            scores = jnp.einsum("bikgd,bkjd->bkgij", qg, k_all,
-                                preferred_element_type=jnp.float32) / np.sqrt(HD)
-            scores = scores + bias[:, :, None, :, :]
-            # tagged for the "scores" remat policy: the [.., T, T] tensors
-            # are the only ones worth recomputing in backward
-            scores = _checkpoint_name(scores, "attn_scores")
-            attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-            attn = _checkpoint_name(attn, "attn_probs")
-            o = jnp.einsum("bkgij,bkjd->bikgd", attn, v_all).reshape(B, T, H * HD)
+            if cfg.block_attention and layer_cache is None and T > 1:
+                # flash-structure scan over KV blocks; k_all/v_all stay
+                # GQA-un-repeated [B, KH, T, D] (the op broadcasts groups)
+                from cosyvoice_tpu.ops.block_attention import block_attention
+
+                o = block_attention(q.transpose(0, 2, 1, 3), k_all, v_all,
+                                    bias, 1.0 / float(np.sqrt(HD)),
+                                    cfg.attention_block)
+                o = o.transpose(0, 2, 1, 3).reshape(B, T, H * HD)
+            else:
+                qg = q.reshape(B, T, KH, g, HD)
+                scores = jnp.einsum("bikgd,bkjd->bkgij", qg, k_all,
+                                    preferred_element_type=jnp.float32) / np.sqrt(HD)
+                scores = scores + bias[:, :, None, :, :]
+                # tagged for the "scores" remat policy: the [.., T, T]
+                # tensors are the only ones worth recomputing in backward
+                scores = _checkpoint_name(scores, "attn_scores")
+                attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+                attn = _checkpoint_name(attn, "attn_probs")
+                o = jnp.einsum("bkgij,bkjd->bikgd", attn, v_all
+                               ).reshape(B, T, H * HD)
         x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="o_proj")(o)
 
         h = rms_norm(x, self.param("post_attention_layernorm", nn.initializers.ones,

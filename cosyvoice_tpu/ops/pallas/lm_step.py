@@ -181,8 +181,13 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, kc_ref, vc_ref,
                 q7, kh[hh:hh + 1, :].astype(x.dtype),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)     # [grp, 1]
-            pc = jnp.exp2(jnp.minimum(s + bias, 108.0))
-            pn = jnp.exp2(jnp.minimum(s_new, 108.0))
+            # per-row running-max subtraction (ADVICE r4): without it,
+            # large score magnitudes saturate a fixed clamp and flatten the
+            # distribution — safe now for arbitrary checkpoints
+            sc = s + bias
+            m = jnp.maximum(jnp.max(sc, axis=1, keepdims=True), s_new)
+            pc = jnp.exp2(sc - m)
+            pn = jnp.exp2(s_new - m)
             denom = jnp.sum(pc, axis=1, keepdims=True) + pn
             oh = jax.lax.dot_general(pc.astype(Vh.dtype), Vh,
                                      (((1,), (0,)), ((), ())),
@@ -316,8 +321,13 @@ def lm_step_xla(w: StepWeights, x, k_cache, v_cache, pos, cos, sin, *,
                         preferred_element_type=jnp.float32)
             s_new = jnp.dot(q7, kh[hh:hh + 1, :].astype(xr.dtype).T,
                             preferred_element_type=jnp.float32)
-            pc = jnp.exp2(jnp.minimum(s + bias, 108.0))
-            pn = jnp.exp2(jnp.minimum(s_new, 108.0))
+            # per-row running-max subtraction (ADVICE r4): without it,
+            # large score magnitudes saturate a fixed clamp and flatten the
+            # distribution — safe now for arbitrary checkpoints
+            sc = s + bias
+            m = jnp.maximum(jnp.max(sc, axis=1, keepdims=True), s_new)
+            pc = jnp.exp2(sc - m)
+            pn = jnp.exp2(s_new - m)
             denom = jnp.sum(pc, axis=1, keepdims=True) + pn
             oh = jnp.dot(pc.astype(v_cache.dtype), v_cache[l][:, sl],
                          preferred_element_type=jnp.float32)

@@ -83,6 +83,25 @@ ZH_POLYPHONES: dict = {
 }
 
 
+def match_polyphone_word(text: str, i: int, words: dict) -> Optional[str]:
+    """Longest lexicon word covering text position i -> that char's reading,
+    or None when no context word matches.  Ties between equal-length words
+    prefer the match whose word starts EARLIEST (compare (len, -start) —
+    ADVICE r4: the old strict len comparison silently kept dict insertion
+    order on equal lengths)."""
+    best = None                       # (len, -start, pron)
+    for w, pron in words.items():
+        # ascending start scan: the first hit for a word is its earliest
+        # start (largest -s), so per-word break keeps the best candidate
+        for s in range(max(0, i - len(w) + 1), i + 1):
+            if text[s: s + len(w)] == w:
+                key = (len(w), -s)
+                if best is None or key > best[:2]:
+                    best = (len(w), -s, pron)
+                break
+    return best[2] if best is not None else None
+
+
 def fix_polyphones(chars: Sequence[str], pinyins: Sequence[str],
                    lexicon: Optional[dict] = None) -> list:
     """Override per-character pinyins for known polyphones by word context.
@@ -91,7 +110,9 @@ def fix_polyphones(chars: Sequence[str], pinyins: Sequence[str],
     pinyins: the g2p's per-character pinyin (non-zh entries pass through
     untouched).  Returns a new pinyin list.  For each polyphonic char, every
     lexicon word containing it is matched against the surrounding window;
-    the LONGEST match wins, else the character default applies.
+    the LONGEST match wins (earliest start on ties), else the character
+    default applies — this function is the floor for a NAIVE per-character
+    g2p, so the lexicon default always replaces the input reading.
     """
     lex = ZH_POLYPHONES if lexicon is None else lexicon
     text = "".join(c if len(c) == 1 else "\x00" for c in chars)
@@ -100,38 +121,40 @@ def fix_polyphones(chars: Sequence[str], pinyins: Sequence[str],
         if c not in lex:
             continue
         default, words = lex[c]
-        best = None
-        for w, pron in words.items():
-            # the word must cover position i
-            for s in range(max(0, i - len(w) + 1), i + 1):
-                if text[s: s + len(w)] == w:
-                    if best is None or len(w) > len(best[0]):
-                        best = (w, pron)
-                    break
-        out[i] = best[1] if best is not None else default
+        pron = match_polyphone_word(text, i, words)
+        out[i] = pron if pron is not None else default
     return out
 
 
-def make_polyphone_g2p(base_g2p, lexicon: Optional[dict] = None):
+def make_polyphone_g2p(base_g2p, lexicon: Optional[dict] = None,
+                       char_default: bool = False):
     """Wrap an external g2p frontend (the PhonemeTokenizer.encode_text /
     phoneme_frontend pipeline input) so its per-word pinyin 'symbols' get
     the polyphone floor applied.  Works on the reference result layout
     ({'words','symbols',...}) for single-char zh word entries — multi-char
-    words keep the base g2p's reading (it had word context there)."""
+    words keep the base g2p's reading (it had word context there).
+
+    A single-char symbol is replaced only when a lexicon CONTEXT WORD
+    actually matches around it; with no match the base g2p's reading stands
+    (ADVICE r4: unconditionally applying the lexicon default downgraded
+    base g2ps that already disambiguate by context/tone).  Pass
+    char_default=True to also apply the per-character default on no-match —
+    the right setting over a naive dictionary g2p."""
 
     def g2p(texts):
         result = base_g2p(texts)
         flat = "".join(w.strip() for w in result["words"])
+        lex = lexicon or ZH_POLYPHONES
         pos = 0
-        for wi, (word, sym) in enumerate(zip(result["words"],
-                                             result["symbols"])):
+        for wi, word in enumerate(result["words"]):
             word = word.strip()
-            if len(word) == 1 and word in (lexicon or ZH_POLYPHONES):
-                ctx_chars = list(flat)
-                fixed = fix_polyphones(ctx_chars,
-                                       [""] * len(ctx_chars),
-                                       lexicon)[pos]
-                result["symbols"][wi] = fixed
+            if len(word) == 1 and word in lex:
+                default, words = lex[word]
+                pron = match_polyphone_word(flat, pos, words)
+                if pron is not None:
+                    result["symbols"][wi] = pron
+                elif char_default:
+                    result["symbols"][wi] = default
             pos += len(word)
         return result
 

@@ -242,3 +242,168 @@ def test_remat_packed_step_matches_no_remat():
         g1 = jax.grad(lambda p: packed_llm_loss_fn(m)(p, batch, None)[0])(params)
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5), g0, g1)
+
+
+def test_block_attention_forward_matches_naive():
+    """ops/block_attention == einsum+softmax attention (GQA + bias), forward
+    and every input grad — including a non-block-multiple key length (pad
+    path) and a head-resolved bias."""
+    from cosyvoice_tpu.ops.block_attention import block_attention
+    from cosyvoice_tpu.ops.masks import NEG_INF
+
+    rng = np.random.default_rng(0)
+    B, KH, g, T, S, D = 2, 2, 3, 5, 11, 8
+    H = KH * g
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KH, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KH, S, D)), jnp.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    def naive(q, k, v, bias):
+        qg = q.reshape(B, KH, g, T, D)
+        s = jnp.einsum("bkgtd,bkcd->bkgtc", qg, k) * scale
+        hb = bias.shape[1]
+        s = s + (bias[:, :, None] if hb == 1
+                 else bias.reshape(B, KH, g, T, S))
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bkgtc,bkcd->bkgtd", p, v).reshape(B, H, T, D)
+
+    for hb in (1, H):
+        mask = rng.random((B, hb, T, S)) < 0.8
+        mask[..., 0] = True
+        bias = jnp.where(jnp.asarray(mask), 0.0, NEG_INF).astype(jnp.float32)
+        want = naive(q, k, v, bias)
+        got = block_attention(q, k, v, bias, scale, 4)   # 11 % 4 != 0
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+        def loss_b(fn):
+            def f(q, k, v, bias):
+                return jnp.sum(jnp.sin(fn(q, k, v, bias)))
+            return f
+
+        g_want = jax.grad(loss_b(naive), argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_got = jax.grad(loss_b(lambda *a: block_attention(*a, scale, 4)),
+                         argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(g_got, g_want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
+
+def test_block_attention_grads_match():
+    """qwen.block_attention trains identically to the naive attention: same
+    packed-batch loss and grads (the r5 config replacing full-layer remat)."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+    from cosyvoice_tpu.train.packing import (pack_llm_examples,
+                                             packed_llm_loss_fn)
+
+    qwen = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=2, head_dim=8,
+                       intermediate_size=64)
+    cfg = LMConfig(llm_input_size=32, llm_output_size=32,
+                   speech_token_size=16, qwen=qwen)
+    rng = np.random.default_rng(1)
+    exs = [(rng.integers(0, 64, 5).astype(np.int32),
+            rng.integers(0, 16, 7).astype(np.int32)) for _ in range(3)]
+    packed = pack_llm_examples(exs, row_len=32, eos_token=cfg.eos_token)
+    batch = {k: jnp.asarray(v) for k, v in packed.items() if k != "n_tokens"}
+
+    m0 = Qwen2LM(cfg)
+    m1 = Qwen2LM(dataclasses.replace(
+        cfg, qwen=dataclasses.replace(qwen, block_attention=True,
+                                      attention_block=8)))
+    t = jnp.asarray(rng.integers(0, 64, (1, 5)))
+    params = m0.init(jax.random.PRNGKey(0), t, jnp.asarray([5]), t % 16,
+                     jnp.asarray([5]))
+    l0, _ = packed_llm_loss_fn(m0)(params, batch, None)
+    l1, _ = packed_llm_loss_fn(m1)(params, batch, None)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    g0 = jax.grad(lambda p: packed_llm_loss_fn(m0)(p, batch, None)[0])(params)
+    g1 = jax.grad(lambda p: packed_llm_loss_fn(m1)(p, batch, None)[0])(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5), g0, g1)
+
+
+def test_block_attention_unpacked_call_matches():
+    """block_attention through the plain (unpacked) training __call__."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+
+    qwen = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=2, head_dim=8,
+                       intermediate_size=64)
+    cfg = LMConfig(llm_input_size=32, llm_output_size=32,
+                   speech_token_size=16, qwen=qwen)
+    rng = np.random.default_rng(2)
+    tt = jnp.asarray(rng.integers(0, 64, (2, 6)))
+    st = jnp.asarray(rng.integers(0, 16, (2, 9)))
+    tl = jnp.asarray([6, 4])
+    sl = jnp.asarray([9, 7])
+    m0 = Qwen2LM(cfg)
+    m1 = Qwen2LM(dataclasses.replace(
+        cfg, qwen=dataclasses.replace(qwen, block_attention=True,
+                                      attention_block=8)))
+    params = m0.init(jax.random.PRNGKey(0), tt, tl, st, sl)
+
+    def loss(m, p):
+        return m.apply(p, tt, tl, st, sl)["loss"]
+
+    np.testing.assert_allclose(float(loss(m0, params)),
+                               float(loss(m1, params)), rtol=1e-6)
+    g0 = jax.grad(lambda p: loss(m0, p))(params)
+    g1 = jax.grad(lambda p: loss(m1, p))(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5), g0, g1)
+
+
+def test_packed_llm_loss_sum_normalized_matches():
+    """length_normalized_loss=False: the packed step divides by the EXAMPLE
+    count (sum of per-row max seg), not the packed row count — equal to the
+    unpacked step's batch-size divisor (ADVICE r4 medium)."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.llm import IGNORE_ID, LMConfig, Qwen2LM
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+    from cosyvoice_tpu.train.packing import pack_llm_examples
+
+    qwen = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2,
+                       num_heads=4, num_kv_heads=2, head_dim=8,
+                       intermediate_size=64)
+    cfg = LMConfig(llm_input_size=32, llm_output_size=32,
+                   speech_token_size=16, qwen=qwen,
+                   length_normalized_loss=False)
+    model = Qwen2LM(cfg)
+    rng = np.random.default_rng(4)
+    exs = [(rng.integers(0, 64, n).astype(np.int32),
+            rng.integers(0, 16, s).astype(np.int32))
+           for n, s in [(5, 7), (3, 4), (6, 9), (2, 3)]]
+    Tt = max(len(t) for t, _ in exs)
+    Ts = max(len(s) for _, s in exs)
+    text = np.zeros((len(exs), Tt), np.int32)
+    tl = np.zeros(len(exs), np.int32)
+    sp = np.zeros((len(exs), Ts), np.int32)
+    sl = np.zeros(len(exs), np.int32)
+    for i, (t, s) in enumerate(exs):
+        text[i, :len(t)] = t
+        tl[i] = len(t)
+        sp[i, :len(s)] = s
+        sl[i] = len(s)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(text),
+                        jnp.asarray(tl), jnp.asarray(sp), jnp.asarray(sl))
+    want = model.apply(params, jnp.asarray(text), jnp.asarray(tl),
+                       jnp.asarray(sp), jnp.asarray(sl))
+    packed = pack_llm_examples(exs, row_len=24, sos_eos=cfg.sos_eos,
+                               task_id=cfg.task_id, eos_token=cfg.eos_token,
+                               ignore_id=IGNORE_ID)
+    assert packed["ids"].shape[0] < len(exs), "expected real packing"
+    got = model.apply(params, *(jnp.asarray(packed[k]) for k in
+                                ("ids", "types", "positions", "seg",
+                                 "target")),
+                      method=Qwen2LM.packed_call)
+    np.testing.assert_allclose(float(got["loss"]), float(want["loss"]),
+                               rtol=2e-5)
