@@ -165,6 +165,52 @@ class RelPositionAttention(nn.Module):
         out = jnp.einsum("bhij,bjhd->bihd", attn, layer_v).reshape(B, 1, self.dim)
         return self.linear_out(out), layer_k, layer_v
 
+    def chunk_decode(self, x: jax.Array, layer_k: jax.Array,
+                     layer_v: jax.Array, pos: jax.Array, bias: jax.Array):
+        """M new rows against a static cache (the incremental streaming
+        twin of __call__ — flow_chunk.py drives it per flow-encoder layer).
+
+        x [B, M, dim] new rows at absolute positions pos_b + i (pos [B]
+        per-row frontiers); layer_k/v [B, Tcap, H, D] cache buffers (K/V of
+        the new rows are written at pos before attending); bias [B, M, Tcap]
+        additive (carries pad validity + the anchored chunk mask).  Returns
+        (out [B, M, dim], new_k, new_v).
+
+        The rel-pos bd term generalizes `decode`'s Tq=1 slice to M queries:
+        bd[i, j] must read the espnet table at index (Tcap-1) - (pos+i) + j,
+        which after a per-row slice is the standard rel_shift skew with a
+        dynamic offset (see the index algebra inline)."""
+        H, D = self.heads, self.dim // self.heads
+        B, M = x.shape[:2]
+        Tcap = layer_k.shape[1]
+        q = self.linear_q(x).reshape(B, M, H, D)
+        k = self.linear_k(x).reshape(B, M, H, D)
+        v = self.linear_v(x).reshape(B, M, H, D)
+        upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+            c, u, (p, 0, 0)))
+        layer_k = upd(layer_k, k.astype(layer_k.dtype), pos)
+        layer_v = upd(layer_v, v.astype(layer_v.dtype), pos)
+
+        table = espnet_rel_pos_emb(Tcap, self.dim, x.dtype)  # [1, 2Tcap-1, d]
+        p_t = self.linear_pos(table).reshape(1, -1, H, D)
+        ac = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_u, layer_k)
+        bd_full = jnp.einsum("bihd,bjhd->bhij", q + self.pos_bias_v, p_t)
+        # want bd[i, j] = bd_full[i, (Tcap-1) - (pos+i) + j].  Pad left 1
+        # (indices shift +1), slice per row at s0 = Tcap - pos - M (>= 0
+        # while pos + M <= Tcap) to width W = M + Tcap, then the rel_shift
+        # reshape trick gives out[i, j] = sliced[i, M - i + j] — exactly the
+        # wanted index: (M - i + j) + s0 = Tcap - pos - i + j.
+        bd_full = jnp.pad(bd_full, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        W = M + Tcap
+        sl = jax.vmap(lambda bf, s: jax.lax.dynamic_slice(
+            bf, (0, 0, s), (H, M, W)))(bd_full, Tcap - pos - M)
+        bd = sl.reshape(B, H, W, M)[:, :, 1:, :].reshape(B, H, M, W - 1)[..., :Tcap]
+        scores = (ac + bd) / float(np.sqrt(D)) + bias[:, None]
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, layer_v
+                         ).reshape(B, M, self.dim)
+        return self.linear_out(out), layer_k, layer_v
+
 
 class PositionwiseFeedForward(nn.Module):
     hidden: int
@@ -486,6 +532,18 @@ class ConformerEncoderLayer(nn.Module):
         x = x + ff_scale * self.ff(self.norm_ff(x))
         return x, layer_k, layer_v
 
+    def chunk(self, x, layer_k, layer_v, pos, bias):
+        """M-row incremental step over a static KV cache.  Supports the
+        flow-encoder config only (no macaron FFN, no conv module — the conv
+        module spans time and would need its own history cache)."""
+        cfg = self.cfg
+        assert not cfg.macaron_style and not cfg.use_cnn_module
+        h, layer_k, layer_v = self.self_attn.chunk_decode(
+            self.norm_mha(x), layer_k, layer_v, pos, bias)
+        x = x + h
+        x = x + self.ff(self.norm_ff(x))
+        return x, layer_k, layer_v
+
 
 class LinearEmbed(nn.Module):
     """LinearNoSubsampling: Dense -> LayerNorm(1e-5) [-> dropout], then xscale.
@@ -578,12 +636,19 @@ class ConformerEncoder(nn.Module):
 
 
 class PreLookaheadLayer(nn.Module):
-    """Right-pad lookahead conv + causal conv, residual (upsample_encoder.py:66-96)."""
+    """Right-pad lookahead conv + causal conv, residual (upsample_encoder.py:66-96).
+
+    setup-style so the incremental streaming path can drive the same convs
+    chunk-by-chunk (chunk method)."""
 
     channels: int
     pre_lookahead_len: int = 3
 
-    @nn.compact
+    def setup(self):
+        self.conv1 = Conv1d(self.channels, self.pre_lookahead_len + 1,
+                            name="conv1")
+        self.conv2 = Conv1d(self.channels, 3, name="conv2")
+
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
         la = self.pre_lookahead_len
         if context is not None:
@@ -591,11 +656,29 @@ class PreLookaheadLayer(nn.Module):
             h = jnp.concatenate([x, context[:, :la]], axis=1)
         else:
             h = jnp.pad(x, ((0, 0), (0, la), (0, 0)))
-        h = Conv1d(self.channels, la + 1, name="conv1")(h)
+        h = self.conv1(h)
         h = jax.nn.leaky_relu(h, 0.01)
         h = jnp.pad(h, ((0, 0), (2, 0), (0, 0)))
-        h = Conv1d(self.channels, 3, name="conv2")(h)
+        h = self.conv2(h)
         return h + x
+
+    def chunk(self, x: jax.Array, ctx_buf: jax.Array, hist2: jax.Array
+              ) -> tuple[jax.Array, jax.Array]:
+        """Incremental step over N new rows.  x [B, N, C] (pad rows zero);
+        ctx_buf [B, N+la, C] holds the lookahead rows SCATTERED at each
+        row's own valid frontier (zeros elsewhere — callers place the next
+        chunk's first `la` embedded tokens there, or nothing on finalize,
+        reproducing the one-shot right-zero-pad); hist2 [B, 2, C] = last two
+        valid conv2-input rows of the stream (zeros at stream start == the
+        one-shot left pad).  Returns (out [B, N, C], conv2-input rows
+        [B, 2+N, C] for the caller's history roll)."""
+        la = self.pre_lookahead_len
+        h = jnp.concatenate([x, jnp.zeros_like(x[:, :la])], axis=1) + ctx_buf
+        h = self.conv1(h)                       # no pad: (N+la) -> N rows
+        h = jax.nn.leaky_relu(h, 0.01)
+        h2in = jnp.concatenate([hist2, h], axis=1)
+        h = self.conv2(h2in)                    # no pad: (N+2) -> N rows
+        return h + x, h2in
 
 
 class Upsample1D(nn.Module):
@@ -604,11 +687,26 @@ class Upsample1D(nn.Module):
     channels: int
     stride: int = 2
 
-    @nn.compact
+    def setup(self):
+        self.conv = Conv1d(self.channels, self.stride * 2 + 1, name="conv")
+
     def __call__(self, x: jax.Array) -> jax.Array:
         x = jnp.repeat(x, self.stride, axis=1)
         x = jnp.pad(x, ((0, 0), (self.stride * 2, 0), (0, 0)))
-        return Conv1d(self.channels, self.stride * 2 + 1, name="conv")(x)
+        return self.conv(x)
+
+    def chunk(self, x: jax.Array, hist2: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Incremental step: x [B, N, C] new token-rate rows, hist2 [B, 2, C]
+        last two valid token-rate rows (zeros at stream start == the one-shot
+        left zero-pad of 2*stride).  Returns (out [B, N*stride, C], conv
+        input rows [B, 2+N, C] for the history roll)."""
+        xin = jnp.concatenate([hist2, x], axis=1)
+        up = jnp.repeat(xin, self.stride, axis=1)   # [B, (2+N)*s, C]
+        # one-shot pads 2*stride zeros left then convs (k=2s+1, no pad):
+        # output row t covers upsampled rows [t-2s .. t]; with 2 history
+        # rows (= 2s upsampled rows) prepended the first N*s outputs after
+        # the history region are exactly the chunk's rows
+        return self.conv(up), xin
 
 
 class UpsampleConformerEncoder(nn.Module):
@@ -629,50 +727,75 @@ class UpsampleConformerEncoder(nn.Module):
     # the mask on the runtime `streaming` flag — set chunk_always=False.
     chunk_always: bool = True
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.embed = LinearEmbed(cfg.dim, cfg.dropout_rate, name="embed")
+        self.pre_lookahead_layer = PreLookaheadLayer(
+            cfg.dim, self.pre_lookahead_len, name="pre_lookahead_layer")
+        self.encoders = tuple(ConformerEncoderLayer(cfg, name=f"encoders_{i}")
+                              for i in range(cfg.num_blocks))
+        self.up_layer = Upsample1D(cfg.dim, self.up_stride, name="up_layer")
+        self.up_embed = LinearEmbed(cfg.dim, cfg.dropout_rate,
+                                    name="up_embed")
+        self.up_encoders = tuple(
+            ConformerEncoderLayer(cfg, name=f"up_encoders_{i}")
+            for i in range(self.up_blocks))
+        self.after_norm = nn.LayerNorm(epsilon=1e-5, name="after_norm")
+
     def __call__(self, xs: jax.Array, lens: jax.Array,
                  streaming: bool = False,
                  context: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> tuple[jax.Array, jax.Array]:
+                 deterministic: bool = True,
+                 chunk_anchor: Optional[jax.Array] = None
+                 ) -> tuple[jax.Array, jax.Array]:
         cfg = self.cfg
         T = xs.shape[1]
         pad = make_non_pad_mask(lens, T)
-        embed = LinearEmbed(cfg.dim, cfg.dropout_rate, name="embed")
         if context is not None:
             # streaming non-finalize chunks: the lookahead context tokens go
             # through the same input embed (upsample_encoder.py:495-498; the
             # positional part is discarded there — rel-pos is handled in
             # attention here, so only the linear embed applies)
-            both = embed(jnp.concatenate([xs, context], axis=1), deterministic)
+            both = self.embed(jnp.concatenate([xs, context], axis=1),
+                              deterministic)
             xs, context = both[:, :T], both[:, T:]
         else:
-            xs = embed(xs, deterministic)
+            xs = self.embed(xs, deterministic)
         pos_emb = espnet_rel_pos_emb(T, cfg.dim, xs.dtype)
         chunk = cfg.static_chunk_size if (self.chunk_always or streaming) else 0
-        attn_mask = add_chunk_mask(pad, chunk)
+        if chunk_anchor is not None and chunk:
+            # anchored grid (prompt/gen boundary) — the incremental serving
+            # twin (flow_chunk.py); ops/masks.anchored_chunk_ids for why
+            from cosyvoice_tpu.ops.masks import anchored_chunk_mask
+            attn_mask = anchored_chunk_mask(pad, chunk, chunk_anchor)
+        else:
+            attn_mask = add_chunk_mask(pad, chunk)
         # zero pad positions before the right-looking lookahead conv: the
         # embed LayerNorm maps zero inputs to its bias (nonzero), and the
         # conv would leak that into the last pre_lookahead_len VALID tokens —
         # the reference runs exact lengths where the conv right-pad is zero
         # (upsample_encoder.py:87), so bucketed padding must look identical
         xs = xs * pad[..., None].astype(xs.dtype)
-        xs = PreLookaheadLayer(cfg.dim, self.pre_lookahead_len,
-                               name="pre_lookahead_layer")(xs, context)
-        for i in range(cfg.num_blocks):
-            xs = ConformerEncoderLayer(cfg, name=f"encoders_{i}")(
-                xs, pos_emb, attn_mask, pad, deterministic)
+        xs = self.pre_lookahead_layer(xs, context)
+        for layer in self.encoders:
+            xs = layer(xs, pos_emb, attn_mask, pad, deterministic)
 
-        xs = Upsample1D(cfg.dim, self.up_stride, name="up_layer")(xs)
+        xs = self.up_layer(xs)
         lens2 = lens * self.up_stride
         T2 = xs.shape[1]
         pad2 = make_non_pad_mask(lens2, T2)
-        xs = LinearEmbed(cfg.dim, cfg.dropout_rate, name="up_embed")(xs, deterministic)
+        xs = self.up_embed(xs, deterministic)
         pos_emb2 = espnet_rel_pos_emb(T2, cfg.dim, xs.dtype)
-        attn_mask2 = add_chunk_mask(pad2, chunk * self.up_stride)
-        for i in range(self.up_blocks):
-            xs = ConformerEncoderLayer(cfg, name=f"up_encoders_{i}")(
-                xs, pos_emb2, attn_mask2, pad2, deterministic)
-        xs = nn.LayerNorm(epsilon=1e-5, name="after_norm")(xs)
+        if chunk_anchor is not None and chunk:
+            from cosyvoice_tpu.ops.masks import anchored_chunk_mask
+            attn_mask2 = anchored_chunk_mask(
+                pad2, chunk * self.up_stride,
+                jnp.asarray(chunk_anchor) * self.up_stride)
+        else:
+            attn_mask2 = add_chunk_mask(pad2, chunk * self.up_stride)
+        for layer in self.up_encoders:
+            xs = layer(xs, pos_emb2, attn_mask2, pad2, deterministic)
+        xs = self.after_norm(xs)
         return xs, pad2
 
 

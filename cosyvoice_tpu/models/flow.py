@@ -96,24 +96,49 @@ class ELayerNorm(nn.Module):
 
 
 class Block1D(nn.Module):
-    """conv3 -> GroupNorm(8) (or LayerNorm when causal) -> Mish, masked."""
+    """conv3 -> GroupNorm(8) (or LayerNorm when causal) -> Mish, masked.
+
+    setup-style so the incremental streaming path (flow_chunk.py) can drive
+    the same conv/norm params chunk-by-chunk with a 2-row history."""
 
     dim_out: int
     causal: bool = False
     groups: int = 8
     fused_norm: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+    def setup(self):
         pad = (2, 0) if self.causal else (1, 1)
-        h = Conv1d(self.dim_out, 3, padding=pad, name="conv")(x * mask[..., None])
+        self.conv = Conv1d(self.dim_out, 3, padding=pad, name="conv")
         if self.causal:
-            h = ELayerNorm(self.dim_out, fused=self.fused_norm, act="mish",
-                           name="norm")(h)
+            self.norm = ELayerNorm(self.dim_out, fused=self.fused_norm,
+                                   act="mish", name="norm")
         else:
-            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(h)
-            h = mish(h)
+            self.norm = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                                     name="norm")
+
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        h = self.conv(x * mask[..., None])
+        if self.causal:
+            h = self.norm(h)
+        else:
+            h = mish(self.norm(h))
         return h * mask[..., None]
+
+    def chunk(self, x: jax.Array, mask: jax.Array, hist: jax.Array
+              ) -> tuple[jax.Array, jax.Array]:
+        """Causal chunk step: x [B, N, C] new rows, hist [B, 2, C] the last
+        two valid PRE-conv rows (x*mask) of the stream.  The conv's built-in
+        left pad is satisfied by prepending the history and dropping the
+        first 2 output rows — identical math to the contiguous call.
+        Returns (out [B, N, C], xin [B, 2+N, C] — the masked conv input, so
+        the caller can roll its history cache)."""
+        assert self.causal
+        xin = jnp.concatenate([hist, x * mask[..., None]], axis=1)
+        # conv pads (2,0) itself; with 2 history rows prepended the first 2
+        # outputs are the history rows' (already-emitted) outputs — drop them
+        h = self.conv(xin)[:, 2:]
+        h = self.norm(h)
+        return h * mask[..., None], xin
 
 
 class ResnetBlock1D(nn.Module):
@@ -121,14 +146,30 @@ class ResnetBlock1D(nn.Module):
     causal: bool = False
     fused_norm: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.block1 = Block1D(self.dim_out, self.causal,
+                              fused_norm=self.fused_norm, name="block1")
+        self.block2 = Block1D(self.dim_out, self.causal,
+                              fused_norm=self.fused_norm, name="block2")
+        self.mlp = nn.Dense(self.dim_out, name="mlp")
+        self.res_conv = Conv1d(self.dim_out, 1, name="res_conv")
+
     def __call__(self, x: jax.Array, mask: jax.Array, t: jax.Array) -> jax.Array:
-        h = Block1D(self.dim_out, self.causal, fused_norm=self.fused_norm,
-                    name="block1")(x, mask)
-        h = h + nn.Dense(self.dim_out, name="mlp")(mish(t))[:, None, :]
-        h = Block1D(self.dim_out, self.causal, fused_norm=self.fused_norm,
-                    name="block2")(h, mask)
-        return h + Conv1d(self.dim_out, 1, name="res_conv")(x * mask[..., None])
+        h = self.block1(x, mask)
+        h = h + self.mlp(mish(t))[:, None, :]
+        h = self.block2(h, mask)
+        return h + self.res_conv(x * mask[..., None])
+
+    def chunk(self, x: jax.Array, mask: jax.Array, t: jax.Array,
+              h1: jax.Array, h2: jax.Array
+              ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Chunk step with per-conv 2-row histories h1/h2 (see Block1D.chunk).
+        Returns (out, block1-input rows, block2-input rows) — callers roll
+        the histories from the returned input rows."""
+        h, x1 = self.block1.chunk(x, mask, h1)
+        h = h + self.mlp(mish(t))[:, None, :]
+        h, x2 = self.block2.chunk(h, mask, h2)
+        return h + self.res_conv(x * mask[..., None]), x1, x2
 
 
 def _flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -294,6 +335,42 @@ class DiTBlock(nn.Module):
         x = x + self.ff_out(h)
         return x
 
+    def chunk(self, x: jax.Array, kv_cache: jax.Array, bias: jax.Array):
+        """Incremental step: x [B, N, dim] new rows; kv_cache [B, R, 2,
+        inner] holds K/V of the retained left-context rows; bias
+        [B, N, R+N] additive (cache keys first, then the new rows).  The
+        DiT blocks carry no positional encoding, so cached K/V attend
+        position-free — only the bias (anchored chunk mask + validity)
+        encodes structure.  Returns (x_out, k_new, v_new [B, N, inner]);
+        the caller rolls every block's cache with one shared shift."""
+        inner = self.heads * self.head_dim
+        B, N, _ = x.shape
+        R = kv_cache.shape[1]
+        h = self.norm1(x)
+        qkv = h @ jnp.concatenate([self.wq, self.wk, self.wv], axis=1
+                                  ).astype(h.dtype)
+        q = qkv[..., :inner]
+        k_new = qkv[..., inner:2 * inner]
+        v_new = qkv[..., 2 * inner:]
+        k_all = jnp.concatenate([kv_cache[:, :, 0].astype(h.dtype), k_new],
+                                axis=1)
+        v_all = jnp.concatenate([kv_cache[:, :, 1].astype(h.dtype), v_new],
+                                axis=1)
+        qh = q.reshape(B, N, self.heads, self.head_dim)
+        kh = k_all.reshape(B, R + N, self.heads, self.head_dim)
+        vh = v_all.reshape(B, R + N, self.heads, self.head_dim)
+        scores = jnp.einsum("bihd,bjhd->bhij", qh, kh
+                            ) / float(np.sqrt(self.head_dim))
+        scores = scores + bias[:, None]
+        attn = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhij,bjhd->bihd", attn, vh).reshape(B, N, inner)
+        x = x + self.to_out(o)
+        h = self.norm3(x)
+        h = self.ff_in(h)
+        h = jax.nn.gelu(h, approximate=self.approx_gelu)
+        x = x + self.ff_out(h)
+        return x, k_new, v_new
+
 
 @dataclass(frozen=True)
 class EstimatorConfig:
@@ -334,6 +411,13 @@ class EstimatorConfig:
     # VMEM-resident weights).  Takes effect on the fused_attention fast path
     # with approx_gelu; forward-only.
     fused_block: bool = False
+    # stream-family left context, in chunks (-1 = unbounded, the reference's
+    # add_optional_chunk_mask(..., -1) at decoder.py:483).  A FINITE bound is
+    # the TPU serving lever behind incremental streaming flow: each chunk's
+    # attention then needs only the last left_chunks*static_chunk_size rows
+    # of per-block K/V, so the per-stream cache is finite.  Affects the
+    # stream=True streaming=True mask only.
+    left_chunks: int = -1
 
 
 class Downsample1D(nn.Module):
@@ -362,18 +446,86 @@ class ConditionalDecoder(nn.Module):
     Full reference topology (decoder.py:88-334): len(channels) levels with
     stride-2 down/upsampling between them (v1 uses (256, 256)); the causal
     production config (channels=(256,)) degenerates to stride-1 causal convs.
+
+    setup-style (r5): all blocks are attributes so the incremental streaming
+    path (flow_chunk.forward_chunk) can drive the same params with per-block
+    KV/conv caches.  Param names/paths are unchanged from the @nn.compact
+    original (checkpoint + golden-test compatible).
     """
 
     cfg: EstimatorConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        chans = tuple(cfg.channels)
+        cpad = (2, 0) if cfg.causal else (1, 1)
+        self.time_mlp = TimestepEmbedding(chans[0] * 4, name="time_mlp")
+
+        def tb(name, ch):
+            return DiTBlock(dim=ch, heads=cfg.num_heads,
+                            head_dim=cfg.attention_head_dim,
+                            approx_gelu=cfg.approx_gelu,
+                            fused_norm=cfg.fused_norm,
+                            fused_block=cfg.fused_block, name=name)
+
+        down_res, down_tbs, downs = [], [], []
+        for i, ch in enumerate(chans):
+            down_res.append(ResnetBlock1D(ch, cfg.causal,
+                                          fused_norm=cfg.fused_norm,
+                                          name=f"down_{i}_resnet"))
+            down_tbs.append(tuple(tb(f"down_{i}_tb_{j}", ch)
+                                  for j in range(cfg.n_blocks)))
+            if i == len(chans) - 1:
+                downs.append(Conv1d(ch, 3, padding=cpad,
+                                    name=f"down_{i}_downsample"))
+            else:
+                downs.append(Downsample1D(ch, name=f"down_{i}_downsample"))
+        self.down_resnets = tuple(down_res)
+        self.down_tbs = tuple(down_tbs)
+        self.downsamples = tuple(downs)
+        self.mid_resnets = tuple(
+            ResnetBlock1D(chans[-1], cfg.causal, fused_norm=cfg.fused_norm,
+                          name=f"mid_{i}_resnet")
+            for i in range(cfg.num_mid_blocks))
+        self.mid_tbs = tuple(
+            tuple(tb(f"mid_{i}_tb_{j}", chans[-1])
+                  for j in range(cfg.n_blocks))
+            for i in range(cfg.num_mid_blocks))
+        up_chans = chans[::-1] + (chans[0],)
+        up_res, up_tbs, ups = [], [], []
+        for i in range(len(up_chans) - 1):
+            up_res.append(ResnetBlock1D(up_chans[i + 1], cfg.causal,
+                                        fused_norm=cfg.fused_norm,
+                                        name=f"up_{i}_resnet"))
+            up_tbs.append(tuple(tb(f"up_{i}_tb_{j}", up_chans[i + 1])
+                                for j in range(cfg.n_blocks)))
+            if i == len(up_chans) - 2:
+                ups.append(Conv1d(up_chans[i + 1], 3, padding=cpad,
+                                  name=f"up_{i}_upsample"))
+            else:
+                ups.append(Upsample1DT(up_chans[i + 1],
+                                       name=f"up_{i}_upsample"))
+        self.up_resnets = tuple(up_res)
+        self.up_tbs = tuple(up_tbs)
+        self.upsamples = tuple(ups)
+        self.final_block = Block1D(up_chans[-1], cfg.causal,
+                                   fused_norm=cfg.fused_norm,
+                                   name="final_block")
+        self.final_proj = Conv1d(cfg.out_channels, 1, name="final_proj")
+
+    def time_embed(self, t: jax.Array, cdt) -> jax.Array:
+        """[B] t -> [B, time_dim] conditioning vector (fp32 angles)."""
+        t_emb = sinusoidal_time_emb(t.astype(jnp.float32),
+                                    self.cfg.in_channels)
+        return self.time_mlp(t_emb.astype(cdt))
+
     def __call__(self, x: jax.Array, mask: jax.Array, mu: jax.Array,
                  t: jax.Array, spks: jax.Array, cond: jax.Array,
                  streaming: bool = False,
-                 exact_pad_mask: bool = False) -> jax.Array:
+                 exact_pad_mask: bool = False,
+                 chunk_anchor: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.cfg
         chans = tuple(cfg.channels)
-        time_dim = chans[0] * 4
         cdt = jnp.dtype(cfg.dtype)
         # cast every input (incl. t and mask) so no fp32 promotion leaks back
         # into the block stack when serving in bf16
@@ -381,8 +533,7 @@ class ConditionalDecoder(nn.Module):
                                    for v in (x, mu, spks, cond, mask))
         # sin/cos of angles up to `scale` rad — MUST stay fp32 (bf16 loses
         # the angle to ~1 rad); cast only the bounded embedding afterwards
-        t_emb = sinusoidal_time_emb(t.astype(jnp.float32), cfg.in_channels)
-        t_emb = TimestepEmbedding(time_dim, name="time_mlp")(t_emb.astype(cdt))
+        t_emb = self.time_embed(t, cdt)
 
         T_in = x.shape[1]
         serving_fast = cfg.fused_attention and not (cfg.stream and streaming)
@@ -400,7 +551,7 @@ class ConditionalDecoder(nn.Module):
         spks_b = jnp.broadcast_to(spks[:, None, :], (x.shape[0], T, spks.shape[-1]))
         h = jnp.concatenate([x, mu, spks_b, cond], axis=-1)
 
-        def blocks(h, ch, m, name):
+        def block_bias(h, m):
             pm = None
             if cfg.fused_attention and not (cfg.stream and streaming):
                 pm = m
@@ -408,12 +559,26 @@ class ConditionalDecoder(nn.Module):
             elif cfg.stream:
                 # StreamConditionalDecoder (decoder.py:479-492): both branches
                 # run through mask_to_bias -> real -inf bias; streaming=True
-                # additionally applies a static chunk mask (all left chunks),
-                # with the SAME chunk size at every resolution level
-                from cosyvoice_tpu.ops.masks import NEG_INF, add_chunk_mask
+                # additionally applies a static chunk mask with the SAME
+                # chunk size at every resolution level.  left_chunks bounds
+                # the left context (reference passes -1 = unbounded,
+                # decoder.py:483; a bound is the TPU serving lever that makes
+                # the incremental chunk caches finite).  chunk_anchor (per-
+                # row prompt rows) anchors the chunk grid at the prompt/gen
+                # boundary so incremental serving chunks align with it.
+                from cosyvoice_tpu.ops.masks import (NEG_INF,
+                                                     add_chunk_mask,
+                                                     anchored_chunk_mask)
 
-                keep = add_chunk_mask(m > 0,
-                                      cfg.static_chunk_size if streaming else 0)
+                if not streaming:
+                    keep = add_chunk_mask(m > 0, 0)
+                elif chunk_anchor is not None:
+                    keep = anchored_chunk_mask(
+                        m > 0, cfg.static_chunk_size, chunk_anchor,
+                        cfg.left_chunks)
+                else:
+                    keep = add_chunk_mask(m > 0, cfg.static_chunk_size,
+                                          num_left_chunks=cfg.left_chunks)
                 attn_bias = jnp.where(keep, 0.0, NEG_INF).astype(h.dtype)
             elif exact_pad_mask:
                 # serving: true -inf key masking.  On unpadded rows this is
@@ -431,47 +596,38 @@ class ConditionalDecoder(nn.Module):
                 # base ConditionalDecoder quirk: float 0/1 pairwise mask used
                 # as an ADDITIVE bias by the diffusers attention
                 attn_bias = (m[:, :, None] * m[:, None, :]).astype(h.dtype)
-            h = ResnetBlock1D(ch, cfg.causal, fused_norm=cfg.fused_norm,
-                              name=f"{name}_resnet")(h, m, t_emb)
-            for j in range(cfg.n_blocks):
-                h = DiTBlock(ch, cfg.num_heads, cfg.attention_head_dim,
-                             approx_gelu=cfg.approx_gelu,
-                             fused_norm=cfg.fused_norm,
-                             fused_block=cfg.fused_block,
-                             name=f"{name}_tb_{j}")(h, attn_bias, pm)
+            return attn_bias, pm
+
+        def blocks(h, resnet, tbs, m):
+            attn_bias, pm = block_bias(h, m)
+            h = resnet(h, m, t_emb)
+            for tb in tbs:
+                h = tb(h, attn_bias, pm)
             return h
 
-        cpad = (2, 0) if cfg.causal else (1, 1)
         masks = [mask]
         skips = []
         for i, ch in enumerate(chans):
             m = masks[-1]
-            h = blocks(h, ch, m, f"down_{i}")
+            h = blocks(h, self.down_resnets[i], self.down_tbs[i], m)
             skips.append(h)  # skip saved BEFORE downsample (decoder.py:282)
             if i == len(chans) - 1:
-                h = Conv1d(ch, 3, padding=cpad, name=f"down_{i}_downsample")(
-                    h * m[..., None])
+                h = self.downsamples[i](h * m[..., None])
             else:
-                h = Downsample1D(ch, name=f"down_{i}_downsample")(h * m[..., None])
+                h = self.downsamples[i](h * m[..., None])
                 masks.append(m[:, ::2])
         mask_mid = masks[-1]
         for i in range(cfg.num_mid_blocks):
-            h = blocks(h, chans[-1], mask_mid, f"mid_{i}")
+            h = blocks(h, self.mid_resnets[i], self.mid_tbs[i], mask_mid)
         up_chans = chans[::-1] + (chans[0],)
         for i in range(len(up_chans) - 1):
             m = masks.pop()
             skip = skips.pop()
             h = jnp.concatenate([h[:, : skip.shape[1]], skip], axis=-1)
-            h = blocks(h, up_chans[i + 1], m, f"up_{i}")
-            if i == len(up_chans) - 2:
-                h = Conv1d(up_chans[i + 1], 3, padding=cpad,
-                           name=f"up_{i}_upsample")(h * m[..., None])
-            else:
-                h = Upsample1DT(up_chans[i + 1], name=f"up_{i}_upsample")(
-                    h * m[..., None])
-        h = Block1D(up_chans[-1], cfg.causal, fused_norm=cfg.fused_norm,
-                    name="final_block")(h, m)
-        out = Conv1d(cfg.out_channels, 1, name="final_proj")(h * m[..., None])
+            h = blocks(h, self.up_resnets[i], self.up_tbs[i], m)
+            h = self.upsamples[i](h * m[..., None])
+        h = self.final_block(h, m)
+        out = self.final_proj(h * m[..., None])
         return (out * mask[..., None]).astype(jnp.float32)[:, :T_in]
 
 
@@ -538,23 +694,27 @@ class CausalConditionalCFM(nn.Module):
     def __call__(self, mu: jax.Array, mask: jax.Array, spks: jax.Array,
                  cond: jax.Array, n_timesteps: int = 10, temperature: float = 1.0,
                  noise: Optional[jax.Array] = None, streaming: bool = False,
-                 exact_pad_mask: bool = False) -> jax.Array:
+                 exact_pad_mask: bool = False,
+                 chunk_anchor: Optional[jax.Array] = None) -> jax.Array:
         """mu [B,T,80], mask [B,T] float, spks [B,80], cond [B,T,80] -> mel [B,T,80]."""
         B, T, C = mu.shape
         z = (self.rand_noise[:, :T, :] if noise is None else noise) * temperature
         z = jnp.broadcast_to(z, (B, T, C)).astype(mu.dtype)
         t_span = cosine_t_span(n_timesteps, mu.dtype)
         return self.solve_euler(z, t_span, mu, mask, spks, cond, streaming,
-                                exact_pad_mask=exact_pad_mask)
+                                exact_pad_mask=exact_pad_mask,
+                                chunk_anchor=chunk_anchor)
 
     def solve_euler(self, x, t_span, mu, mask, spks, cond, streaming=False,
-                    exact_pad_mask=False):
+                    exact_pad_mask=False, chunk_anchor=None):
         B = x.shape[0]
         r = self.cfg.inference_cfg_rate
         mask2 = jnp.concatenate([mask, mask], axis=0)
         mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
         spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
         cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+        anchor2 = (None if chunk_anchor is None
+                   else jnp.tile(jnp.asarray(chunk_anchor), 2))
 
         ts = t_span[:-1]
         dts = t_span[1:] - t_span[:-1]
@@ -564,7 +724,8 @@ class CausalConditionalCFM(nn.Module):
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.full((2 * B,), t, x.dtype)
             v = mdl.estimator(x2, mask2, mu2, t2, spks2, cond2, streaming,
-                              exact_pad_mask=exact_pad_mask)
+                              exact_pad_mask=exact_pad_mask,
+                              chunk_anchor=anchor2)
             v_cond, v_uncond = v[:B], v[B:]
             dphi = (1.0 + r) * v_cond - r * v_uncond
             return x + dt * dphi, None
@@ -646,7 +807,7 @@ class CausalMaskedDiffWithXvec(nn.Module):
         self.decoder = CausalConditionalCFM(cfg.cfm, cfg.estimator)
 
     def _encode(self, token, token_len, streaming=False, deterministic=True,
-                finalize=True):
+                finalize=True, chunk_anchor=None):
         mask = make_non_pad_mask(token_len, token.shape[1])
         emb = self.input_embedding(jnp.maximum(token, 0)) * mask[..., None]
         emb = emb.astype(jnp.dtype(self.cfg.encoder_dtype))
@@ -657,16 +818,19 @@ class CausalMaskedDiffWithXvec(nn.Module):
             la = self.cfg.pre_lookahead_len
             emb, ctx = emb[:, :-la], emb[:, -la:]
             h, pad2 = self.encoder(emb, token_len, streaming=streaming,
-                                   context=ctx, deterministic=deterministic)
+                                   context=ctx, deterministic=deterministic,
+                                   chunk_anchor=chunk_anchor)
         else:
             h, pad2 = self.encoder(emb, token_len, streaming=streaming,
-                                   deterministic=deterministic)
+                                   deterministic=deterministic,
+                                   chunk_anchor=chunk_anchor)
         return self.encoder_proj(h.astype(jnp.float32)), pad2
 
     def inference(self, token, token_len, prompt_feat, embedding,
                   n_timesteps: int = 10, noise: Optional[jax.Array] = None,
                   streaming: bool = False, finalize: bool = True,
-                  prompt_feat_len: Optional[jax.Array] = None) -> jax.Array:
+                  prompt_feat_len: Optional[jax.Array] = None,
+                  chunk_anchor: Optional[jax.Array] = None) -> jax.Array:
         """token [B, Tp+Tg] (prompt tokens ++ generated tokens, already
         concatenated and trimmed to ratio-multiples by the caller),
         prompt_feat [B, P, 80] with P = ratio * prompt_token_len,
@@ -681,7 +845,7 @@ class CausalMaskedDiffWithXvec(nn.Module):
         spks = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True).clip(1e-12)
         spks = self.spk_embed_affine_layer(spks)
         h, _ = self._encode(token, token_len, streaming=streaming,
-                            finalize=finalize)
+                            finalize=finalize, chunk_anchor=chunk_anchor)
         P = prompt_feat.shape[1]
         T2 = h.shape[1]
         conds = jnp.zeros((h.shape[0], T2, self.cfg.output_size), h.dtype)
@@ -690,9 +854,11 @@ class CausalMaskedDiffWithXvec(nn.Module):
             keep = jnp.arange(T2)[None, :] < prompt_feat_len[:, None]
             conds = jnp.where(keep[..., None], conds, 0.0)
         mask = make_non_pad_mask(token_len * self.cfg.token_mel_ratio, T2).astype(h.dtype)
+        anchor2 = (None if chunk_anchor is None
+                   else jnp.asarray(chunk_anchor) * self.cfg.token_mel_ratio)
         feat = self.decoder(h, mask, spks, conds, n_timesteps=n_timesteps,
                             noise=noise, streaming=streaming,
-                            exact_pad_mask=True)
+                            exact_pad_mask=True, chunk_anchor=anchor2)
         if prompt_feat_len is not None:
             return feat
         return feat[:, P:, :]

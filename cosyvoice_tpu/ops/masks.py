@@ -81,3 +81,41 @@ def add_chunk_mask(
 def mask_to_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     """bool attend-mask -> additive bias (0 where attend, NEG_INF where not)."""
     return jnp.where(mask, jnp.zeros((), dtype), jnp.asarray(NEG_INF, dtype))
+
+
+def anchored_chunk_ids(pos: jax.Array, anchor: jax.Array,
+                       chunk_size: int) -> jax.Array:
+    """Chunk index of absolute position(s) `pos` on a grid ANCHORED at
+    `anchor` (the prompt/generation boundary): the whole prompt region
+    [0, anchor) is chunk 0, then one chunk per `chunk_size` positions.
+
+    Incremental streaming flow (models/flow_chunk.py) emits generated rows
+    in hop-sized chunks that are multiples of chunk_size, so anchoring the
+    grid at the boundary makes every serving chunk end exactly on a grid
+    boundary for ANY prompt length — the property that lets cached K/V
+    reproduce the one-shot chunk-masked computation exactly.  `anchor`
+    broadcasts ([B] or scalar).
+    """
+    rel = pos - anchor
+    return jnp.where(rel < 0, 0, rel // chunk_size + 1)
+
+
+def anchored_chunk_mask(pad_mask: jax.Array, chunk_size: int,
+                        anchor: jax.Array,
+                        num_left_chunks: int = -1) -> jax.Array:
+    """Chunk-causal mask on the anchored grid (see anchored_chunk_ids),
+    combined with a [B, T] (or [B, 1, T]) key pad mask.  Returns [B, T, T]
+    bool.  num_left_chunks >= 0 bounds the visible left context (the finite
+    per-chunk cache window of incremental streaming flow)."""
+    if pad_mask.ndim == 2:
+        pad_mask = pad_mask[:, None, :]
+    T = pad_mask.shape[-1]
+    pos = jnp.arange(T)
+    anchor = jnp.asarray(anchor)
+    if anchor.ndim == 0:
+        anchor = anchor[None]
+    cid = anchored_chunk_ids(pos[None, :], anchor[:, None], chunk_size)
+    ok = cid[:, None, :] <= cid[:, :, None]
+    if num_left_chunks >= 0:
+        ok = ok & (cid[:, None, :] >= cid[:, :, None] - num_left_chunks)
+    return pad_mask & ok

@@ -244,6 +244,16 @@ class ContinuousSynthesizer:
     # — two-chip stage pipelining, the reference's producer-thread/consumer
     # split across devices instead of across Python threads
     flow_device: Optional[object] = None
+    # INCREMENTAL flow serving (runtime/flow_engine.py): every mel row is
+    # computed once against cached per-slot state instead of re-running the
+    # prompt+context window per chunk.  Requires model.flow in the stream
+    # config (estimator.stream=True, finite estimator.left_chunks); audio
+    # follows the stream-masked model (chunk-causal attention with bounded
+    # left context), not the windowed full-attention path — the documented
+    # serving trade (models/flow_chunk.py).  flow_context_tokens is unused
+    # in this mode.
+    incremental: bool = False
+    flow_tok_cap: Optional[int] = None   # default: 256 + max_out
 
     def __post_init__(self):
         self._flow_ragged = _make_flow_ragged(self.model.flow)
@@ -251,6 +261,23 @@ class ContinuousSynthesizer:
             m = self.model
             m.flow_params = jax.device_put(m.flow_params, self.flow_device)
             m.hift_params = jax.device_put(m.hift_params, self.flow_device)
+        self._fse = None
+        if self.incremental:
+            from cosyvoice_tpu.models.flow import _fixed_noise
+            from cosyvoice_tpu.runtime.flow_engine import FlowSlotEngine
+
+            m = self.model
+            cap = self.flow_tok_cap or 256 + (self.max_out
+                                              or m.max_decode_tokens)
+            noise = (m.flow_noise if m.flow_noise is not None else
+                     _fixed_noise(m.flow.cfg.cfm.noise_frames,
+                                  m.flow.cfg.output_size))
+            edt = jnp.dtype(m.flow.cfg.encoder_dtype)
+            cdt = jnp.dtype(m.flow.cfg.estimator.dtype)
+            self._fse = FlowSlotEngine(
+                m.flow, m.flow_params, self.num_slots, cap, noise,
+                spk_dim=m.flow.cfg.spk_embed_dim, enc_dtype=edt,
+                est_dtype=cdt)
 
     def _flush_group(self, jobs, emit, streaming: bool):
         """One ragged-batched flow call over `jobs` (each (stream, tokens,
@@ -368,6 +395,118 @@ class ContinuousSynthesizer:
         for (st, tok, off, fin, hop), wav in zip(jobs, wavs):
             emit(st, wav, fin)
 
+    def _flush_group_inc(self, jobs, emit) -> list:
+        """Incremental flush: one FlowSlotEngine.chunk call per (first,
+        final, bucket, hop) group — each stream's NEW tokens only, against
+        its cached state.  Jobs of one stream sequence through waves (a
+        later chunk needs the earlier chunk's state).
+
+        Flow slots are claimed LAZILY at a stream's first flow chunk and
+        released at its final one; final groups run before first groups in
+        each wave so releases satisfy the wave's admissions.  The LM engine
+        recycles ITS slot at token-done, before the last flow chunk flushes,
+        so live flow streams can transiently exceed num_slots — jobs that
+        cannot claim a slot are RETURNED (deferred to the next segment
+        flush; the pending finals guarantee progress)."""
+        from collections import defaultdict
+
+        m = self.model
+        fse = self._fse
+        ratio = m.ratio
+        la = m.pre_lookahead_len
+        hop_base = m.token_hop_len
+        n_mel = m.flow.cfg.output_size
+
+        waves: list = []
+        seen: dict = {}
+        for j in jobs:
+            k = seen.get(id(j[0]), 0)
+            seen[id(j[0])] = k + 1
+            while len(waves) <= k:
+                waves.append([])
+            waves[k].append(j)
+
+        deferred: list = []
+        deferred_streams: set = set()
+        for wave in waves:
+            groups = defaultdict(list)
+            for j in wave:
+                st, tok, off, fin, hop = j
+                if id(st) in deferred_streams:
+                    deferred.append(j)      # keep per-stream job order
+                    continue
+                first = off == 0
+                P = len(st.req.prompt_speech_tokens) if first else 0
+                n = (len(tok) - off) if fin else hop
+                M = max(round_up(P + n, hop_base), hop_base)
+                groups[(first, fin, M, 0 if fin else hop)].append(j)
+            # finals first: their slot releases satisfy this wave's admits
+            for key in sorted(groups, key=lambda k: (not k[1], k[2], k[3])):
+                first, fin, M, hop = key
+                grp = groups[key]
+                if first:
+                    admitted = []
+                    for j in grp:
+                        st = j[0]
+                        if fse.free:
+                            st.fslot = fse.admit(
+                                len(st.req.prompt_speech_tokens),
+                                np.asarray(st.req.embedding, np.float32))
+                            admitted.append(j)
+                        else:
+                            deferred.append(j)
+                            deferred_streams.add(id(st))
+                    grp = admitted
+                    if not grp:
+                        continue
+                K = len(grp)
+                toks = np.zeros((K, M), np.int32)
+                ctx = np.zeros((K, la), np.int32)
+                cl = np.zeros(K, np.int32)
+                nv = np.zeros(K, np.int32)
+                slots, starts, valids = [], [], []
+                pfl = np.zeros(K, np.int32)
+                Pf = (round_up(max(j[0].req.prompt_feat.shape[0]
+                                   for j in grp), 32) if first else 1)
+                pf = np.zeros((K, Pf, n_mel), np.float32)
+                for i, (st, tok, off, fin_, hop_) in enumerate(grp):
+                    ps = (np.asarray(st.req.prompt_speech_tokens, np.int32)
+                          if first else np.zeros(0, np.int32))
+                    if fin:
+                        g = np.asarray(tok[off:], np.int32)
+                    else:
+                        g = np.asarray(tok[off:off + hop_], np.int32)
+                        c = np.asarray(tok[off + hop_: off + hop_ + la],
+                                       np.int32)
+                        ctx[i, :len(c)] = c
+                        cl[i] = len(c)
+                    row = np.concatenate([ps, g])
+                    toks[i, :len(row)] = row
+                    nv[i] = len(row)
+                    slots.append(st.fslot)
+                    starts.append(ratio * len(ps))
+                    valids.append(ratio * len(g))
+                    if first:
+                        n_pf = st.req.prompt_feat.shape[0]
+                        pf[i, :n_pf] = st.req.prompt_feat
+                        pfl[i] = n_pf
+                mel = fse.chunk(slots, toks, ctx, cl, nv, first,
+                                pf if first else None,
+                                pfl if first else None)
+                sessions = [j[0].session for j in grp]
+                if not fin:
+                    wavs = m.mel2wav_stream_group(mel, slots, starts,
+                                                  sessions,
+                                                  win_rows=ratio * hop)
+                else:
+                    wavs = m.mel2wav_final_group(mel, slots, starts, valids,
+                                                 sessions)
+                for (st, tok, off, fin_, hop_), w in zip(grp, wavs):
+                    emit(st, w, fin_)
+                    if fin_:
+                        fse.release(st.fslot)
+        return deferred
+
     def serve(self, submissions, rng=None) -> None:
         """Online streaming TTS: pull (TTSRequest, on_chunk(wav, final))
         pairs from a thread-safe queue.Queue while synthesis runs; a None
@@ -403,7 +542,7 @@ class ContinuousSynthesizer:
 
         class _Stream:
             __slots__ = ("req", "on_chunk", "tokens", "offset", "session",
-                         "hop")
+                         "hop", "fslot")
 
             def __init__(self, req, on_chunk):
                 self.req, self.on_chunk = req, on_chunk
@@ -411,6 +550,7 @@ class ContinuousSynthesizer:
                 self.offset = 0
                 self.session: dict = {"hift": None}
                 self.hop = hop
+                self.fslot = None   # claimed lazily at the first flow flush
 
             def __repr__(self):
                 return f"_Stream(offset={self.offset}, hop={self.hop})"
@@ -433,6 +573,10 @@ class ContinuousSynthesizer:
                 st.on_chunk(wav, fin)
 
         def flush():
+            if self._fse is not None:
+                deferred = self._flush_group_inc(jobs, emit)
+                jobs[:] = deferred
+                return
             if not self.batch_chunks:
                 for st, tok, off, fin, _hop in jobs:
                     r = st.req
@@ -483,6 +627,12 @@ class ContinuousSynthesizer:
                 return (gr, make_on_tokens(st))
 
         engine.serve(_Adapter(), rng=rng, on_segment=on_segment)
+        # incremental mode can defer jobs past slot contention; drain them
+        # (each pass flushes finals -> releases slots -> admits the rest)
+        while jobs:
+            n_before = len(jobs)
+            flush()
+            assert len(jobs) < n_before, "incremental flush stalled"
 
     def synthesize_batch(self, requests: Sequence[TTSRequest], rng=None,
                          on_chunk=None) -> list[np.ndarray]:

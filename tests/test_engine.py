@@ -566,3 +566,68 @@ def test_continuous_synthesizer_progressive_hop():
     # bigger than the first
     ch0 = sizes[True][0]
     assert len(ch0) >= 2 and max(ch0[1:]) > ch0[0], ch0
+
+
+def test_incremental_flow_engine_matches_stream_model():
+    """ContinuousSynthesizer(incremental=True): the slot-based incremental
+    flow engine (runtime/flow_engine.py) synthesizes the SAME audio as the
+    one-shot stream-masked flow model vocoded with the same chunk windows —
+    i.e. chunked serving computes each mel row once, exactly.  Greedy LM
+    (token parity with lm_generate is covered above), 2 interleaved
+    requests with different prompt/text lengths."""
+    from cosyvoice_tpu.models.flow import CausalMaskedDiffWithXvec
+    from cosyvoice_tpu.models.llm import SamplingConfig as SC
+    from cosyvoice_tpu.runtime.serving import ContinuousSynthesizer, TTSRequest
+    from tests.test_runtime import SPEECH_VOCAB, N_MEL, build_tiny_stack
+
+    m = build_tiny_stack(sampling=SC(method="greedy"), input_frame_rate=4,
+                         max_decode_tokens=64, stream_flow=True)
+    rng = np.random.default_rng(5)
+    b = np.asarray(m.llm_params["params"]["llm_decoder"]["bias"]).copy()
+    b[SPEECH_VOCAB:] = -30.0  # emit every step -> long streams
+    m.llm_params["params"]["llm_decoder"]["bias"] = jnp.asarray(b)
+    reqs = [TTSRequest(
+        text_tokens=rng.integers(0, 300, n).astype(np.int32),
+        prompt_text_len=0,
+        prompt_speech_tokens=rng.integers(0, SPEECH_VOCAB, p).astype(np.int32),
+        prompt_feat=rng.standard_normal((2 * p, N_MEL)).astype(np.float32),
+        embedding=rng.standard_normal(24).astype(np.float32))
+        for n, p in ((16, 4), (14, 3))]
+
+    synth = ContinuousSynthesizer(m, num_slots=2, cache_len=256,
+                                  max_out=m.max_decode_tokens,
+                                  text_bucket=16, speech_bucket=8,
+                                  incremental=True)
+    got = synth.synthesize_batch(reqs, rng=jax.random.PRNGKey(2))
+
+    hop, la = m.token_hop_len, m.pre_lookahead_len
+    for i, r in enumerate(reqs):
+        toks = m.llm_generate(r.text_tokens, 0, r.prompt_speech_tokens,
+                              jax.random.PRNGKey(0))
+        P = len(r.prompt_speech_tokens)
+        tok_all = np.concatenate([r.prompt_speech_tokens, toks])
+        # one-shot stream-masked mel over the full sequence (anchored grid,
+        # finite left context — the model the incremental engine serves)
+        mel = m.flow.apply(
+            m.flow_params, jnp.asarray(tok_all[None]),
+            jnp.asarray([len(tok_all)]), jnp.asarray(r.prompt_feat[None]),
+            jnp.asarray(r.embedding[None]), streaming=True, finalize=True,
+            chunk_anchor=jnp.asarray([P]),
+            method=CausalMaskedDiffWithXvec.inference)
+        gen_mel = np.asarray(mel[0])     # [2*len(toks), N_MEL]
+        assert gen_mel.shape[0] == 2 * len(toks)
+        # vocode with the engine's own chunk-window programs
+        session: dict = {"hift": None}
+        parts = []
+        off = 0
+        while len(toks) - off >= hop + la:
+            win = jnp.asarray(gen_mel[None, 2 * off: 2 * (off + hop)])
+            parts.append(m.mel2wav_stream_group(win, [0], [0], [session],
+                                                win_rows=2 * hop)[0])
+            off += hop
+        rest = gen_mel[2 * off:]
+        parts.append(m.mel2wav_final_group(
+            jnp.asarray(rest[None]), [0], [0], [rest.shape[0]], [session])[0])
+        want = np.concatenate(parts)
+        np.testing.assert_allclose(got[i], want, atol=2e-4, rtol=1e-3,
+                                   err_msg=f"request {i}")

@@ -24,19 +24,25 @@ def build_tiny_stack(sampling: SamplingConfig = SamplingConfig(method="ras", top
                      max_decode_tokens: int = 96,
                      deterministic_hift: bool = False,
                      input_frame_rate: int = 25,
-                     flow_context_tokens=None) -> CosyVoice2Model:
+                     flow_context_tokens=None,
+                     stream_flow: bool = False) -> CosyVoice2Model:
     qwen = Qwen2Config(vocab_size=300, hidden_size=32, num_layers=2, num_heads=4,
                        num_kv_heads=2, head_dim=8, intermediate_size=64,
                        rope_theta=10000.0)
     lm_cfg = LMConfig(llm_input_size=32, llm_output_size=32,
                       speech_token_size=SPEECH_VOCAB, qwen=qwen,
                       sampling=sampling)
+    fr = input_frame_rate
     enc = ConformerConfig(dim=64, heads=4, linear_units=64, num_blocks=1,
                           dropout_rate=0.0, attention_dropout_rate=0.0,
-                          input_size=64, static_chunk_size=50)
+                          input_size=64,
+                          static_chunk_size=2 * fr if stream_flow else 50)
     est = EstimatorConfig(in_channels=4 * N_MEL, out_channels=N_MEL, causal=True,
                           channels=(32,), n_blocks=1, num_mid_blocks=1,
-                          num_heads=2, attention_head_dim=16)
+                          num_heads=2, attention_head_dim=16,
+                          stream=stream_flow,
+                          static_chunk_size=4 * fr if stream_flow else 50,
+                          left_chunks=2 if stream_flow else -1)
     flow_cfg = FlowConfig(input_size=64, output_size=N_MEL, spk_embed_dim=24,
                           vocab_size=SPEECH_VOCAB + 3, encoder=enc,
                           estimator=est, cfm=CFMConfig(noise_frames=4000),

@@ -95,7 +95,7 @@ def main():
         loss_fn = packed_llm_loss_fn(model)
     else:
         Bt = {"naive8": 8, "block8": 8, "block16": 16, "block32": 32,
-              "block32r": 32, "block64": 64}[cfg_name]
+              "block32r": 32, "block64": 64, "naive16": 16}[cfg_name]
         Tt, Ts = 64, 384
         batch = {
             "text_token": jnp.asarray(rng.integers(0, 1000, (Bt, Tt))),
