@@ -436,17 +436,31 @@ def main():
         # 500-token sessions (20 s utterances — the same workload as the
         # one-shot sections) under the PRODUCTION streaming levers:
         # progressive hop (chunk hop grows 50->100->200 per stream, v1-style)
-        # and a bounded flow context window (W=250 tokens), so per-session
-        # flow work is O(T) instead of quadratic.  TTFB still gates on the
-        # first 53-token chunk.
+        # and — r5 — INCREMENTAL flow (models/flow_chunk.py): each mel row
+        # is computed once against cached per-slot state, replacing the
+        # r3/r4 windowed path that re-ran the prompt+W=250 context per
+        # chunk.  Audio follows the stream-masked flow model (chunk-causal
+        # attention, left_chunks=2) instead of the windowed full-attention
+        # one; BENCH_ENGINE_MODE=windowed restores the r4 path.
         etokens = int(os.environ.get("BENCH_ENGINE_TOKENS", "500"))
         eratio = etokens / 25.0
         lm_cfg_eng = _dc2.replace(lm_cfg, min_token_text_ratio=eratio,
                                   max_token_text_ratio=eratio)
-        emodel = _CV2(llm=Qwen2LM(lm_cfg_eng), flow=flow, hift=hift,
-                      llm_params=llm_params, flow_params=flow_params,
-                      hift_params=hift_params, max_decode_tokens=etokens,
-                      flow_context_tokens=250)
+        engine_mode = os.environ.get("BENCH_ENGINE_MODE", "incremental")
+        if engine_mode == "incremental":
+            flow_cfg_inc = _dc2.replace(
+                flow_cfg, estimator=_dc2.replace(
+                    flow_cfg.estimator, stream=True, left_chunks=2,
+                    static_chunk_size=50))
+            eflow = CausalMaskedDiffWithXvec(flow_cfg_inc)
+            emodel = _CV2(llm=Qwen2LM(lm_cfg_eng), flow=eflow, hift=hift,
+                          llm_params=llm_params, flow_params=flow_params,
+                          hift_params=hift_params, max_decode_tokens=etokens)
+        else:
+            emodel = _CV2(llm=Qwen2LM(lm_cfg_eng), flow=flow, hift=hift,
+                          llm_params=llm_params, flow_params=flow_params,
+                          hift_params=hift_params, max_decode_tokens=etokens,
+                          flow_context_tokens=250)
 
         def engine_measure(n_sessions, warm_ladder):
             reqs = [TTSRequest(text_tokens=np.asarray(text1[0]),
@@ -458,7 +472,8 @@ def main():
             synth = ContinuousSynthesizer(
                 emodel, num_slots=n_sessions,
                 cache_len=((2 + 25 + 50 + etokens + 127) // 128) * 128,
-                max_out=etokens, hop_scale=2.0)
+                max_out=etokens, hop_scale=2.0,
+                incremental=engine_mode == "incremental")
 
             def engine_run(seed):
                 first = {}

@@ -80,7 +80,110 @@ ZH_POLYPHONES: dict = {
     "便": ("bian4", {"便宜": "pian2"}),
     "间": ("jian1", {"间接": "jian4", "间隔": "jian4", "离间": "jian4",
                      "间断": "jian4", "黑白相间": "jian4"}),
+    # ---- r5 tier-2 expansion (VERDICT r4 #8: double the coverage) ----
+    "相": ("xiang1", {"相机": "xiang4", "照相": "xiang4", "相片": "xiang4",
+                      "首相": "xiang4", "相貌": "xiang4", "真相": "xiang4",
+                      "扮相": "xiang4"}),
+    "将": ("jiang1", {"将军": "jiang4", "大将": "jiang4", "将领": "jiang4",
+                      "将士": "jiang4", "麻将": "jiang4"}),
+    "应": ("ying1", {"应该": "ying1", "应当": "ying1",
+                     "答应": "ying4", "应付": "ying4", "反应": "ying4",
+                     "应用": "ying4", "适应": "ying4", "回应": "ying4",
+                     "应对": "ying4", "供应": "ying4", "响应": "ying4"}),
+    "当": ("dang1", {"当天": "dang4", "上当": "dang4",
+                     "当作": "dang4", "当成": "dang4", "恰当": "dang4",
+                     "妥当": "dang4", "典当": "dang4", "当铺": "dang4"}),
+    "好": ("hao3", {"爱好": "hao4", "好奇": "hao4", "好客": "hao4",
+                    "好学": "hao4", "好胜": "hao4", "嗜好": "hao4"}),
+    "种": ("zhong3", {"种植": "zhong4", "种地": "zhong4", "种树": "zhong4",
+                      "种田": "zhong4", "耕种": "zhong4", "栽种": "zhong4"}),
+    "调": ("diao4", {"调整": "tiao2", "调节": "tiao2", "调皮": "tiao2",
+                     "调料": "tiao2", "空调": "tiao2", "调解": "tiao2",
+                     "协调": "tiao2", "调味": "tiao2", "调侃": "tiao2",
+                     "失调": "tiao2"}),
+    "处": ("chu4", {"处理": "chu3", "处罚": "chu3", "相处": "chu3",
+                    "处置": "chu3", "处于": "chu3", "处境": "chu3",
+                    "处分": "chu3", "处在": "chu3", "独处": "chu3"}),
+    "传": ("chuan2", {"传记": "zhuan4", "自传": "zhuan4", "传略": "zhuan4",
+                      "水浒传": "zhuan4", "外传": "zhuan4"}),
+    "干": ("gan4", {"干燥": "gan1", "干净": "gan1", "饼干": "gan1",
+                    "干杯": "gan1", "干扰": "gan1", "干涉": "gan1",
+                    "干旱": "gan1", "若干": "gan1", "豆腐干": "gan1"}),
+    "分": ("fen1", {"分量": "fen4", "部分": "fen4", "身分": "fen4",
+                    "成分": "fen4", "水分": "fen4", "过分": "fen4",
+                    "本分": "fen4", "缘分": "fen4", "充分": "fen4"}),
+    "难": ("nan2", {"灾难": "nan4", "难民": "nan4", "遇难": "nan4",
+                    "苦难": "nan4", "患难": "nan4", "责难": "nan4"}),
+    "数": ("shu4", {"数数": "shu3", "数不清": "shu3", "数一数": "shu3",
+                    "数落": "shu3", "数得上": "shu3"}),
+    "弹": ("dan4", {"弹琴": "tan2", "弹吉他": "tan2", "弹奏": "tan2",
+                    "弹钢琴": "tan2", "反弹": "tan2", "弹性": "tan2",
+                    "弹簧": "tan2"}),
+    "血": ("xue4", {"血淋淋": "xie3"}),
+    "背": ("bei4", {"背包": "bei1", "背着书包": "bei1", "背负": "bei1",
+                    "背债": "bei1", "背黑锅": "bei1"}),
+    "假": ("jia3", {"放假": "jia4", "假期": "jia4", "请假": "jia4",
+                    "暑假": "jia4", "寒假": "jia4", "休假": "jia4",
+                    "度假": "jia4", "病假": "jia4"}),
+    "空": ("kong1", {"空闲": "kong4", "空地": "kong4", "填空": "kong4",
+                     "抽空": "kong4", "空白": "kong4", "空缺": "kong4",
+                     "有空": "kong4", "没空": "kong4"}),
+    "差": ("cha4", {"差别": "cha1", "差距": "cha1", "差异": "cha1",
+                    "偏差": "cha1", "误差": "cha1", "时差": "cha1",
+                    "出差": "chai1", "差遣": "chai1", "邮差": "chai1",
+                    "参差": "ci1"}),
+    "倒": ("dao3", {"倒车后": "dao4", "倒退": "dao4", "倒立": "dao4",
+                    "倒影": "dao4", "倒是": "dao4", "倒计时": "dao4",
+                    "倒水": "dao4", "倒茶": "dao4", "反倒": "dao4"}),
+    "盛": ("sheng4", {"盛饭": "cheng2", "盛汤": "cheng2", "盛满": "cheng2"}),
+    "降": ("jiang4", {"投降": "xiang2", "降服": "xiang2", "降龙": "xiang2"}),
+    "藏": ("cang2", {"西藏": "zang4", "藏族": "zang4", "宝藏": "zang4",
+                     "藏红花": "zang4"}),
+    "率": ("lv4", {"率领": "shuai4", "率先": "shuai4", "坦率": "shuai4",
+                   "率真": "shuai4", "轻率": "shuai4", "直率": "shuai4"}),
+    "供": ("gong1", {"供品": "gong4", "供奉": "gong4", "口供": "gong4",
+                     "招供": "gong4", "上供": "gong4"}),
+    "强": ("qiang2", {"勉强": "qiang3", "强迫": "qiang3", "强词夺理": "qiang3",
+                      "倔强": "jiang4"}),
+    "曲": ("qu3", {"弯曲": "qu1", "曲折": "qu1", "曲线": "qu1",
+                   "扭曲": "qu1", "曲解": "qu1"}),
+    "奇": ("qi2", {"奇数": "ji1", "奇偶": "ji1"}),
+    "少": ("shao3", {"少年": "shao4", "少女": "shao4", "少爷": "shao4",
+                     "青少年": "shao4", "少先队": "shao4"}),
+    "朝": ("chao2", {"朝气": "zhao1", "朝霞": "zhao1",
+                     "朝夕": "zhao1", "朝三暮四": "zhao1"}),
 }
+
+# word-final 儿 acting as the retroflex (erhua) suffix in these words is
+# NEUTRALIZED: the reference's ttsfrd frontend merges it into the previous
+# syllable (hua1 + r); per-character pipelines mark it "r5" (tone-5
+# suffix) so the phoneme mapper can fold it.  Standalone 儿 (儿子/女儿/
+# 婴儿/幼儿...) keeps its full er2 syllable.
+ERHUA_WORDS = ("花儿", "鸟儿", "玩儿", "哪儿", "这儿", "那儿", "一会儿",
+               "小孩儿", "孩儿们", "事儿", "味儿", "劲儿", "门儿", "歌儿",
+               "活儿", "份儿", "个儿", "面儿", "点儿", "边儿", "头儿",
+               "弯儿", "圈儿", "空儿", "词儿", "趣儿", "样儿", "片儿",
+               "馅儿", "好玩儿", "差点儿", "有点儿", "没事儿", "聊天儿",
+               "一块儿", "一点儿", "一下儿", "等会儿", "待会儿", "遛弯儿")
+
+
+def apply_erhua(chars: Sequence[str], pinyins: Sequence[str],
+                words: Sequence[str] = ERHUA_WORDS) -> list:
+    """Rewrite suffix-儿 readings to the neutral retroflex marker 'r5'
+    when a known erhua word ends at that position (reference: ttsfrd's
+    erhua merge, cosyvoice/cli/frontend.py:113-121 — unavailable here, so
+    this floor covers the frequent erhua vocabulary)."""
+    text = "".join(c if len(c) == 1 else "\x00" for c in chars)
+    out = list(pinyins)
+    for i, c in enumerate(chars):
+        if c != "儿" or i == 0:
+            continue
+        for w in words:
+            s = i - len(w) + 1
+            if s >= 0 and text[s: i + 1] == w:
+                out[i] = "r5"
+                break
+    return out
 
 
 def match_polyphone_word(text: str, i: int, words: dict) -> Optional[str]:

@@ -196,3 +196,64 @@ def test_polyphone_g2p_wrapper():
     assert out["symbols"][1] == "zhang3"   # 校长 context -> zhang3
     assert out["symbols"][2] == "de5"      # particle stays
     assert out["symbols"][4] == "di4"      # 目的 context -> di4
+
+
+def test_polyphone_tier2_goldens():
+    """r5 lexicon expansion: tier-2 polyphones (word context vs default)."""
+    from cosyvoice_tpu.tokenizer.polyphone import fix_polyphones
+
+    def run(s):
+        return fix_polyphones(list(s), ["x5"] * len(s))
+
+    cases = [
+        ("照相机", 1, "xiang4"), ("相信我", 0, "xiang1"),
+        ("将军来了", 0, "jiang4"), ("将要出发", 0, "jiang1"),
+        ("答应他", 1, "ying4"), ("应该如此", 0, "ying1"),
+        ("上当受骗", 1, "dang4"), ("当老师", 0, "dang1"),
+        ("业余爱好", 3, "hao4"), ("好天气", 0, "hao3"),
+        ("种植水稻", 0, "zhong4"), ("各种各样", 1, "zhong3"),
+        ("空调坏了", 1, "tiao2"), ("声调不对", 1, "diao4"),
+        ("处理问题", 0, "chu3"), ("到处都是", 1, "chu4"),
+        ("水浒传说", 2, "zhuan4"), ("传说故事", 0, "chuan2"),
+        ("干燥的风", 0, "gan1"), ("干活去了", 0, "gan4"),
+        ("大部分人", 2, "fen4"), ("分开行动", 0, "fen1"),
+        ("遭遇灾难", 3, "nan4"), ("难过极了", 0, "nan2"),
+        ("数数手指", 0, "shu3"), ("数学很难", 0, "shu4"),
+        ("弹钢琴曲", 0, "tan2"), ("子弹打光", 1, "dan4"),
+        ("放假三天", 1, "jia4"), ("假话连篇", 0, "jia3"),
+        ("有空再来", 1, "kong4"), ("天空很蓝", 1, "kong1"),
+        ("出差很久", 1, "chai1"), ("时差难倒", 1, "cha1"),
+        ("反倒不好", 1, "dao4"), ("摔倒在地", 1, "dao3"),
+        ("盛饭给他", 0, "cheng2"), ("盛大晚会", 0, "sheng4"),
+        ("缴械投降", 3, "xiang2"), ("降温降雨", 0, "jiang4"),
+        ("去西藏玩", 2, "zang4"), ("藏起来了", 0, "cang2"),
+        ("率领部队", 0, "shuai4"), ("概率很低", 1, "lv4"),
+        ("勉强同意", 1, "qiang3"), ("强大无比", 0, "qiang2"),
+        ("弯曲小路", 1, "qu1"), ("歌曲动听", 1, "qu3"),
+        ("奇数偶数", 0, "ji1"), ("奇怪的人", 0, "qi2"),
+        ("青少年宫", 1, "shao4"), ("很少见面", 1, "shao3"),
+        ("朝气蓬勃", 0, "zhao1"), ("朝南的窗", 0, "chao2"),
+    ]
+    for s, i, want in cases:
+        got = run(s)[i]
+        assert got == want, f"{s}[{i}]: got {got}, want {want}"
+
+
+def test_erhua_neutralization():
+    """Suffix-儿 in erhua vocabulary marks 'r5'; standalone 儿 keeps er2."""
+    from cosyvoice_tpu.tokenizer.polyphone import apply_erhua
+
+    def run(s, base="er2"):
+        chars = list(s)
+        pin = ["x5" if c != "儿" else base for c in chars]
+        return apply_erhua(chars, pin)
+
+    assert run("一会儿见")[2] == "r5"
+    assert run("去哪儿呀")[2] == "r5"
+    assert run("小孩儿哭")[2] == "r5"
+    assert run("有点儿累")[2] == "r5"
+    assert run("聊天儿去")[2] == "r5"
+    # standalone syllabic 儿 untouched
+    assert run("儿子很乖")[0] == "er2"
+    assert run("女儿长大")[1] == "er2"
+    assert run("婴儿睡了")[1] == "er2"
