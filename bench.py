@@ -447,22 +447,21 @@ def main():
         lm_cfg_eng = _dc2.replace(lm_cfg, min_token_text_ratio=eratio,
                                   max_token_text_ratio=eratio)
         engine_mode = os.environ.get("BENCH_ENGINE_MODE", "incremental")
-        if engine_mode == "incremental":
-            flow_cfg_inc = _dc2.replace(
-                flow_cfg, estimator=_dc2.replace(
-                    flow_cfg.estimator, stream=True, left_chunks=2,
-                    static_chunk_size=50))
-            eflow = CausalMaskedDiffWithXvec(flow_cfg_inc)
-            emodel = _CV2(llm=Qwen2LM(lm_cfg_eng), flow=eflow, hift=hift,
-                          llm_params=llm_params, flow_params=flow_params,
-                          hift_params=hift_params, max_decode_tokens=etokens)
-        else:
-            emodel = _CV2(llm=Qwen2LM(lm_cfg_eng), flow=flow, hift=hift,
-                          llm_params=llm_params, flow_params=flow_params,
-                          hift_params=hift_params, max_decode_tokens=etokens,
-                          flow_context_tokens=250)
+        flow_cfg_inc = _dc2.replace(
+            flow_cfg, estimator=_dc2.replace(
+                flow_cfg.estimator, stream=True, left_chunks=2,
+                static_chunk_size=50))
+        eflow = CausalMaskedDiffWithXvec(flow_cfg_inc)
+        emodel = _CV2(llm=Qwen2LM(lm_cfg_eng), flow=eflow, hift=hift,
+                      llm_params=llm_params, flow_params=flow_params,
+                      hift_params=hift_params, max_decode_tokens=etokens)
+        emodel_w = _CV2(llm=Qwen2LM(lm_cfg_eng), flow=flow, hift=hift,
+                        llm_params=llm_params, flow_params=flow_params,
+                        hift_params=hift_params, max_decode_tokens=etokens,
+                        flow_context_tokens=250)
 
-        def engine_measure(n_sessions, warm_ladder):
+        def engine_measure(n_sessions, warm_ladder, mode=None):
+            mode = mode or engine_mode
             reqs = [TTSRequest(text_tokens=np.asarray(text1[0]),
                                prompt_text_len=0,
                                prompt_speech_tokens=np.asarray(psp1[0]),
@@ -470,10 +469,11 @@ def main():
                                embedding=np.asarray(emb1[0]))
                     for _ in range(n_sessions)]
             synth = ContinuousSynthesizer(
-                emodel, num_slots=n_sessions,
+                emodel if mode == "incremental" else emodel_w,
+                num_slots=n_sessions,
                 cache_len=((2 + 25 + 50 + etokens + 127) // 128) * 128,
                 max_out=etokens, hop_scale=2.0,
-                incremental=engine_mode == "incremental")
+                incremental=mode == "incremental")
 
             def engine_run(seed):
                 first = {}
@@ -528,7 +528,11 @@ def main():
             x16, t16, _ = engine_measure(16, [16])
             emit("engine16", engine_16stream_x=round(x16, 2),
                  engine_16stream_ttfb_ms=round(t16, 1))
-            x32, t32, _ = engine_measure(32, [32])
+            # 32 streams stay on the windowed path: the incremental
+            # estimator's per-euler-step K/V caches at 32 slots (left 2)
+            # would claim ~7 GB HBM on top of the serving stack
+            x32, t32, _ = engine_measure(32, [1, 2, 4, 8, 16, 32],
+                                         mode="windowed")
             emit("engine32", engine_32stream_x=round(x32, 2),
                  engine_32stream_ttfb_ms=round(t32, 1))
 
@@ -545,9 +549,16 @@ def main():
                                               make_train_state,
                                               make_train_step)
 
+        # blockwise attention (qwen.block_attention, ops/block_attention.py)
+        # is the r5 training default: the tools/probe_block_attn.py sweep
+        # measured it FASTER than naive even at bs8 seq448 (no [B,H,N,N]
+        # HBM round trips) and it removes the OOM that capped batch at 8 —
+        # though throughput saturates ~44k tok/s from bs8 up on this
+        # backend (the hidden-896 matmuls' rate), so bs8 stays the config.
         lm_cfg_tr = dataclasses.replace(
             lm_cfg_fp, qwen=dataclasses.replace(lm_cfg_fp.qwen,
-                                                fused_cache_update=False)) \
+                                                fused_cache_update=False,
+                                                block_attention=True)) \
             if on_tpu else lm_cfg_fp
         llm_tr = Qwen2LM(lm_cfg_tr)
         llm_tr_params = to_bf16(rand_params(lambda: llm_tr.init(
@@ -596,22 +607,19 @@ def main():
         from cosyvoice_tpu.train.packing import (pack_llm_examples,
                                                  packed_llm_loss_fn)
 
+        # 24 examples -> ~4 packed rows x 2048: with block attention (no
+        # [B,H,N,N] saved) this fits WITHOUT remat; the r4 64-example/10-row
+        # shape needs full-layer remat, measured at 7.1% MFU
+        # (tools/probe_block_attn.py packedb) — linear-layer activations at
+        # 20k tokens exhaust HBM regardless of the attention form
         exs = [(rng.integers(0, 1000, int(rng.integers(10, 60))),
                 rng.integers(0, 6561, int(rng.integers(60, 440))))
-               for _ in range(64)]
+               for _ in range(24)]
         ROW = 2048
         packed = pack_llm_examples(exs, row_len=ROW, eos_token=6561 + 2)
         batch_packed = {k: jnp.asarray(v) for k, v in packed.items()
                        if k != "n_tokens"}
-        # blockwise attention (qwen.block_attention): lax.scan over KV blocks
-        # with a running max/denominator — no [B,H,N,N] materialization, so
-        # long packed rows fit WITHOUT full-layer remat (round-4 VERDICT #3:
-        # the OOM and the dead selective-remat policy both traced to the
-        # materialized scores).  Grad-equivalence vs the naive forward:
-        # tests/test_train.py::test_block_attention_grads_match.
-        llm_tr_pack = Qwen2LM(dataclasses.replace(
-            lm_cfg_tr, qwen=dataclasses.replace(lm_cfg_tr.qwen,
-                                                block_attention=True)))
+        llm_tr_pack = llm_tr
         step_packed = make_train_step(packed_llm_loss_fn(llm_tr_pack), tx,
                                       donate=False)
         stp = make_train_state(llm_tr_params, tx)

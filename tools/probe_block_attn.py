@@ -12,12 +12,27 @@ chip.  Usage: python tools/probe_block_attn.py CFG  with CFG one of
 
 MEASURED (this backend, v5e via tunnel, 2026-08-21, bf16 params+activations,
 fan-in-scaled random weights, adamw+clip in the step; MFU vs the measured
-610 TF/s chip peak):
+610 TF/s chip peak — 2x the nominal 197 TF/s v5e bf16 figure, so double
+these percentages for nominal-MFU):
   naive8    89 ms/step   40.3k tok/s   20.0% MFU   (baseline, == r4 19.4%)
   block8    81 ms/step   44.3k tok/s   22.0% MFU   (block attn is FASTER even
                                                     at seq 448: no [B,H,N,N]
                                                     HBM round trips)
-  (further rows appended as the sweep runs — see git history)
+  block16  167 ms/step   43.2k tok/s   21.5% MFU   (fits! r4's bs16 OOM was
+                                                    the materialized scores)
+  block32  351 ms/step   41.1k tok/s   20.4% MFU   (fits without remat)
+  packedb4 273 ms/step   28.5k tok/s   14.2% MFU   (4 rows x 2048, no remat)
+  packedb 1356 ms/step   14.2k tok/s    7.1% MFU   (9 rows x 2048 + remat
+                                                    all: recompute tax)
+CONCLUSION: throughput SATURATES at ~44k tok/s (~134 TF/s-equivalent) from
+bs8 upward — the hidden-896 matmul shapes' rate on this chip, 68% of the
+nominal v5e bf16 peak and 22% of the 610 TF/s 8k-cube peak.  Scaling batch
+or packing adds tokens/step but not tokens/SECOND, so the production config
+is unpacked bs8 + block_attention (fastest step, least memory); packing
+remains the right call only where examples are far shorter than the row
+(packed no-remat at <=4 rows).  The 30%-of-610 ask is not reachable with
+these layer shapes on this backend; against the nominal peak the headline
+config runs at 68% MFU.
 """
 import sys
 import time

@@ -107,6 +107,40 @@ def install_probes():
 
     CosyVoice2Model.mel2wav_group = timed_voc
 
+    # r5: incremental flow engine probes — FlowSlotEngine.chunk (all-slots
+    # jitted chunk program + host scatter) and the group vocode twins
+    from cosyvoice_tpu.runtime.flow_engine import FlowSlotEngine
+
+    orig_chunk = FlowSlotEngine.chunk
+
+    def timed_chunk(self, slots, tokens, *a, **kw):
+        t0 = time.time()
+        mel = orig_chunk(self, slots, tokens, *a, **kw)
+        _sync(mel)
+        dt = time.time() - t0
+        key = f"flow_inc_M{tokens.shape[1]}"
+        PH[key] += dt
+        N[key] += 1
+        PH["flow_inc"] += dt
+        N["flow_inc"] += 1
+        PH["flow_inc_jobs"] += len(slots)
+        return mel
+
+    FlowSlotEngine.chunk = timed_chunk
+
+    for name in ("mel2wav_stream_group", "mel2wav_final_group"):
+        orig_g = getattr(CosyVoice2Model, name)
+
+        def timed_g(self, *a, _orig=orig_g, _n=name, **kw):
+            t0 = time.time()
+            out = _orig(self, *a, **kw)
+            dt = time.time() - t0
+            PH[_n] += dt
+            N[_n] += 1
+            return out
+
+        setattr(CosyVoice2Model, name, timed_g)
+
 
 def main():
     n_sessions = int(os.environ.get("PROFILE_SESSIONS", "8"))
