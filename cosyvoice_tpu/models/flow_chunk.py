@@ -332,7 +332,7 @@ def estimator_step(est, x, mu, t_emb, spks, cond, mask, bias, kv_s, conv_s):
 
 def flow_chunk(mdl, tokens, ctx_tokens, prompt_feat, prompt_feat_len,
                embedding, n_valid, ctx_len, state: FlowChunkState, noise,
-               first: bool = False):
+               first: bool = False, ragged_tail: bool = True):
     """Process one chunk for B streams.  mdl = CausalMaskedDiffWithXvec
     (stream config, finite left_chunks); call via
     `flow.apply(params, ..., method=flow_chunk)`.
@@ -349,7 +349,13 @@ def flow_chunk(mdl, tokens, ctx_tokens, prompt_feat, prompt_feat_len,
     slices the buffer at state.tok_pos * ratio).
 
     Returns (mel [B, 2M, 80] — generated rows are [2*anchor (first) or 0 :
-    2*n_valid], rows beyond are zero —, new_state)."""
+    2*n_valid], rows beyond are zero —, new_state).
+
+    ragged_tail=False is the steady-state fast path: every row's n_valid is
+    either N (full chunk) or 0 (disabled slot), so the cache rolls become a
+    static slice + per-row select instead of per-row concat+gather — the
+    engine passes it for non-final groups (final groups have RAS-drifted
+    ragged lengths and keep the general roll)."""
     cfm = mdl.decoder
     est = cfm.estimator
     ecfg = est.cfg
@@ -392,6 +398,9 @@ def flow_chunk(mdl, tokens, ctx_tokens, prompt_feat, prompt_feat_len,
     r = cfm.cfg.inference_cfg_rate
     x = noise.astype(mu.dtype) * valid2[..., None]
 
+    static_roll = not ragged_tail and N >= R
+    full = (nv2 == N)
+
     def step(mdl_, x, scan_in):
         t, dt, kv_s, conv_s = scan_in
         est_ = mdl_.decoder.estimator   # re-bound under the lifted scan
@@ -400,12 +409,20 @@ def flow_chunk(mdl, tokens, ctx_tokens, prompt_feat, prompt_feat_len,
         v, kv_rows, conv_rows = estimator_step(
             est_, x2, mu2, t_emb, spks2, cond2, mask2, bias2, kv_s, conv_s)
         dphi = (1.0 + r) * v[:B] - r * v[B:]
-        kv_s = jax.vmap(roll_rows, in_axes=(0, 0, None))(
-            kv_s, kv_rows.astype(kv_s.dtype), nv2)
-        # conv histories: the returned rows already carry the old history
-        # prepended ([2 hist ++ N new]) — take the last 2 valid directly
-        conv_s = {k: tail_rows(conv_rows[k].astype(conv_s[k].dtype), nv2, 2)
-                  for k in conv_s}
+        if static_roll:
+            kv_s = jnp.where(full[None, :, None, None, None],
+                             kv_rows[:, :, N - R:].astype(kv_s.dtype), kv_s)
+            conv_s = {k: jnp.where(full[:, None, None],
+                                   conv_rows[k][:, N: N + 2
+                                                ].astype(conv_s[k].dtype),
+                                   conv_s[k]) for k in conv_s}
+        else:
+            kv_s = jax.vmap(roll_rows, in_axes=(0, 0, None))(
+                kv_s, kv_rows.astype(kv_s.dtype), nv2)
+            # conv histories: the returned rows already carry the old
+            # history prepended ([2 hist ++ N new]) — last 2 valid directly
+            conv_s = {k: tail_rows(conv_rows[k].astype(conv_s[k].dtype),
+                                   nv2, 2) for k in conv_s}
         return x + dt * dphi, (kv_s, conv_s)
 
     scan = nn.scan(step, variable_broadcast="params",

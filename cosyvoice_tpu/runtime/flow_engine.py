@@ -28,11 +28,11 @@ import numpy as np
 from cosyvoice_tpu.models import flow_chunk as FC
 
 
-@partial(jax.jit, static_argnames=("model", "first"),
+@partial(jax.jit, static_argnames=("model", "first", "ragged"),
          donate_argnames=("state",))
 def flow_slots_chunk(model, params, state: FC.FlowChunkState, tokens, ctx,
                      ctx_len, n_valid, pfeat, pfl, emb, noise_buf,
-                     first: bool):
+                     first: bool, ragged: bool = True):
     """Advance slots by one chunk.  tokens [S, M] (row b pad past
     n_valid[b]; n_valid 0 = slot disabled this call), ctx [S, la] +
     ctx_len [S], pfeat [S, P, 80] + pfl [S] (first=True groups only), emb
@@ -44,7 +44,7 @@ def flow_slots_chunk(model, params, state: FC.FlowChunkState, tokens, ctx,
     z = jax.vmap(lambda p: jax.lax.dynamic_slice(
         noise_buf[0], (p, 0), (ratio * M, C)))(ratio * state.tok_pos)
     return model.apply(params, tokens, ctx, pfeat, pfl, emb, n_valid,
-                       ctx_len, state, z, first=first,
+                       ctx_len, state, z, first=first, ragged_tail=ragged,
                        method=FC.flow_chunk)
 
 
@@ -112,7 +112,7 @@ class FlowSlotEngine:
 
     def chunk(self, slots, tokens, ctx, ctx_len, n_valid, first: bool,
               pfeat: Optional[np.ndarray] = None,
-              pfl: Optional[np.ndarray] = None):
+              pfl: Optional[np.ndarray] = None, ragged: bool = True):
         """Advance the given slots (host lists/arrays, one entry per JOB)
         and return the device mel [num_slots, ratio*M, 80] — callers index
         rows by slot id.  tokens [K, M] etc. are scattered to the full slot
@@ -142,5 +142,5 @@ class FlowSlotEngine:
             self.model, self.params, self.state, jnp.asarray(tok_f),
             jnp.asarray(ctx_f), jnp.asarray(cl_f), jnp.asarray(nv_f),
             jnp.asarray(pf_f), jnp.asarray(pfl_f), jnp.asarray(self.emb),
-            self.noise_buf, first)
+            self.noise_buf, first, ragged)
         return mel

@@ -490,9 +490,12 @@ class ContinuousSynthesizer:
                         n_pf = st.req.prompt_feat.shape[0]
                         pf[i, :n_pf] = st.req.prompt_feat
                         pfl[i] = n_pf
+                # non-final non-first groups are shape-exact (n_valid is N
+                # or 0): static-slice cache rolls instead of per-row gathers
                 mel = fse.chunk(slots, toks, ctx, cl, nv, first,
                                 pf if first else None,
-                                pfl if first else None)
+                                pfl if first else None,
+                                ragged=first or fin)
                 sessions = [j[0].session for j in grp]
                 if not fin:
                     wavs = m.mel2wav_stream_group(mel, slots, starts,

@@ -83,7 +83,8 @@ def _run_chunks(model, params, toks, P_toks, gen_lens, pf, pfl, emb, noise,
     out = [[] for _ in range(B)]
     Pmax_t = max(P_toks)
 
-    def apply_chunk(tok_c, ctx_c, cl, nv, z, first, pfeat=None, pflen=None):
+    def apply_chunk(tok_c, ctx_c, cl, nv, z, first, pfeat=None, pflen=None,
+                    ragged=True):
         nonlocal state
         mel, state = model.apply(
             params, jnp.asarray(tok_c), jnp.asarray(ctx_c),
@@ -93,7 +94,7 @@ def _run_chunks(model, params, toks, P_toks, gen_lens, pf, pfl, emb, noise,
              else jnp.zeros(B, jnp.int32)),
             jnp.asarray(emb), jnp.asarray(nv, np.int32),
             jnp.asarray(cl, np.int32), state,
-            jnp.asarray(z), first=first,
+            jnp.asarray(z), first=first, ragged_tail=ragged,
             method=FC.flow_chunk)
         return np.asarray(mel)
 
@@ -137,7 +138,10 @@ def _run_chunks(model, params, toks, P_toks, gen_lens, pf, pfl, emb, noise,
             ctx_c[b], cl[b] = ctx_for(gt, s + HOP)
             p0 = 2 * (len(pt) + s)
             z[b] = noise[0, p0:p0 + 2 * HOP]
-        mel = apply_chunk(tok_c, ctx_c, cl, nv, z, False)
+        # full (non-ragged) non-final chunks drive the static-slice cache
+        # roll fast path the serving engine uses (ragged_tail=False)
+        mel = apply_chunk(tok_c, ctx_c, cl, nv, z, False,
+                          ragged=bool((nv != HOP).any()))
         for b in range(B):
             out[b].append(mel[b, :2 * nv[b]])
     return [np.concatenate(o, axis=0) for o in out]

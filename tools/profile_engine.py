@@ -121,6 +121,7 @@ def install_probes():
         key = f"flow_inc_M{tokens.shape[1]}"
         PH[key] += dt
         N[key] += 1
+        CALLS[key].append(dt)
         PH["flow_inc"] += dt
         N["flow_inc"] += 1
         PH["flow_inc_jobs"] += len(slots)
@@ -137,6 +138,7 @@ def install_probes():
             dt = time.time() - t0
             PH[_n] += dt
             N[_n] += 1
+            CALLS[_n].append(dt)
             return out
 
         setattr(CosyVoice2Model, name, timed_g)
