@@ -521,13 +521,11 @@ class ServingEngine:
                 return True
             return False
 
-        def harvest():
-            """Blocks on the in-flight segment; streams new tokens, frees
+        def harvest(packed):
+            """Stream new tokens from a fetched harvest array, free
             finished slots.  count/done/out are packed into ONE array on
             device first — through a remote-TPU tunnel each separate
-            device->host fetch costs a full round trip."""
-            packed = np.asarray(_pack_harvest(state.count, state.done,
-                                              state.out))
+            device->host fetch costs a full round trip (~30 ms)."""
             count = packed[:, -2]
             done = packed[:, -1].astype(bool)
             out = packed[:, :-2]
@@ -547,6 +545,14 @@ class ServingEngine:
             return self.segment_steps + (self.first_segment_extra if admitted
                                          else 0)
 
+        # Software-pipelined harvest: the packed harvest of segment k is
+        # DISPATCHED right after segment k (so on the serial device queue it
+        # completes before the consumer flush's flow/vocode programs) and
+        # READ one loop iteration later, after on_segment() has dispatched
+        # that heavy work — by then the decode+pack have long finished and
+        # the read returns without stalling.  Eagerly reading it between
+        # decode and flush (the old order) paid a full tunnel round trip per
+        # segment with the device otherwise idle.
         while True:
             admitted = pull(block_idle=True)
             if not slot_cb:
@@ -555,13 +561,16 @@ class ServingEngine:
                 continue
             state = engine_decode_segment(self.model, self.params, state,
                                           segment_steps_for(admitted))
+            pending = _pack_harvest(state.count, state.done, state.out)
             while slot_cb:
-                harvest()
+                harvest(np.asarray(pending))
                 admitted = pull(block_idle=False)
                 if slot_cb:
                     state = engine_decode_segment(
                         self.model, self.params, state,
                         segment_steps_for(admitted))
+                    pending = _pack_harvest(state.count, state.done,
+                                            state.out)
                 if on_segment is not None:
                     on_segment()
             if stopping:

@@ -58,8 +58,8 @@ def main():
                     if w.dtype in (jnp.int8, jnp.bfloat16) else n // 2
         return tot
 
-    def step_fn(ws):
-        def one_step(x, _):
+    def step_fn():
+        def one_step_w(ws, x, _):
             h = x
             for lw in ws:
                 q = h @ lw[0].astype(jnp.bfloat16)
@@ -74,8 +74,9 @@ def main():
             return h * 0.5, ()
 
         @jax.jit
-        def run(x):
-            y, _ = jax.lax.scan(one_step, x, length=500)
+        def run(ws, x):
+            y, _ = jax.lax.scan(lambda c, s: one_step_w(ws, c, s), x,
+                                length=500)
             return y
 
         return run
@@ -90,11 +91,11 @@ def main():
             for w in lw:
                 n = int(np.prod(w.shape))
                 nb += {"bf16": 2 * n, "int8": n, "int4": n // 2}[name]
-        run = step_fn(ws)
-        run(x).block_until_ready()
-        float(jnp.sum(run(x)))  # cache-warm + forced read
+        run = step_fn()
+        run(ws, x).block_until_ready()
+        float(jnp.sum(run(ws, x)))  # cache-warm + forced read
         t0 = time.time()
-        float(jnp.sum(run(x)))
+        float(jnp.sum(run(ws, x)))
         dt = time.time() - t0
         gb = nb * 500 / 1e9
         print(f"{name}: {dt*1e3:.0f} ms / 500 steps, {gb:.0f} GB "
