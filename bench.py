@@ -168,7 +168,7 @@ def main():
     # next-token argmax over 100 generated-speech positions: the free-running
     # greedy trajectory is chaotic under ANY perturbation, per-position
     # argmax is the stable gate — tests/test_llm.py int4 note)
-    agree8 = agree4 = 1.0
+    agree8 = agree4 = agree4x = 1.0
     if on_tpu and os.environ.get("BENCH_ONLY", "") in ("", "batch"):
         from cosyvoice_tpu.models.qwen2 import causal_prefill_bias
 
@@ -195,8 +195,29 @@ def main():
         want = tf_logits(llm_fp, llm_params_fp)
         agree8 = float((tf_logits(llm, llm_params) == want).mean())
         agree4 = float((tf_logits(llm_i4, llm_params_i4) == want).mean())
+        # XLA-native int4 + AWQ equalization (r5): calibration stats from
+        # the same teacher-forced sequence
+        from cosyvoice_tpu.models.llm import collect_act_stats
+        from cosyvoice_tpu.utils.quant import quantize_qwen_int4xla
+        stats = collect_act_stats(llm_fp, llm_params_fp, text1,
+                                  jnp.asarray([25]), sp, jnp.asarray([150]))
+        lm_cfg_i4x = dataclasses.replace(
+            lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int4xla",
+                                             fused_cache_update=False))
+        llm_i4x = Qwen2LM(lm_cfg_i4x)
+        llm_params_i4x = quantize_qwen_int4xla(llm_params_fp, act_amax=stats)
+        agree4x = float((tf_logits(llm_i4x, llm_params_i4x) == want).mean())
         log(f"greedy agreement vs bf16 (teacher-forced argmax, 100 steps): "
-            f"int8 {agree8:.3f}, int4 {agree4:.3f}")
+            f"int8 {agree8:.3f}, int4 {agree4:.3f}, "
+            f"int4xla+AWQ {agree4x:.3f}")
+        if agree4x >= 0.9:
+            # quality-gated: single-stream decode takes the 1.29x int4 path
+            # (tools/probe_int4_xla.py) only when full-scale agreement holds
+            lm_cfg_b1 = lm_cfg_i4x
+            llm_b1 = llm_i4x
+            llm_params_b1 = llm_params_i4x
+        else:
+            del llm_params_i4x
         del llm_params_i4
 
     @jax.jit
@@ -278,7 +299,8 @@ def main():
     only = os.environ.get("BENCH_ONLY", "")  # "", "batch", "ragged",
     #                                          "stream", "engine", "train"
     emit("init", greedy_agree_int8=round(agree8, 3),
-         greedy_agree_int4=round(agree4, 3))
+         greedy_agree_int4=round(agree4, 3),
+         greedy_agree_int4xla_awq=round(agree4x, 3))
 
     # ---- single stream + per-stage split (round-4 VERDICT #4: publish the
     # B=1 stage seconds so the non-LM 60% of the pipeline is visible)

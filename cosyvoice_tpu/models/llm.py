@@ -277,6 +277,42 @@ def _sample(cfg: SamplingConfig, rng, logp, recent, recent_valid):
     raise ValueError(cfg.method)
 
 
+def collect_act_stats(model, params, text, text_len, speech, speech_len):
+    """AWQ calibration: one teacher-forced pass collecting per-channel
+    activation amax at every quantized projection's input (the sow taps in
+    models/qwen2.Qwen2Layer).  Returns {layer_idx: {attn_in, mlp_in,
+    down_in}} numpy arrays for utils.quant.awq_equalize; call with one or
+    more representative batches and np.maximum-merge the results."""
+    cls = type(model)
+    emb, seq_len = model.apply(params, text, text_len, speech, speech_len,
+                               method=cls.prefill_embeds)
+    B, T = emb.shape[:2]
+    bias = causal_prefill_bias(T, T, seq_len, B, emb.dtype)
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    _, inter = model.apply(params, emb, pos, bias,
+                           method=cls.forward_hidden,
+                           mutable=["intermediates"])
+    stats = {}
+    for name, sub in inter["intermediates"]["llm"].items():
+        if name.startswith("layers_"):
+            stats[int(name.split("_")[1])] = {
+                "attn_in": np.asarray(sub["attn_in_amax"][0]),
+                "mlp_in": np.asarray(sub["mlp_in_amax"][0]),
+                "down_in": np.asarray(sub["down_in_amax"][0])}
+    return stats
+
+
+def _decode_params(model, params):
+    """int4xla: cast int8 nibble kernels to native int4 ONCE at the top of
+    each decode-loop program (int4 cannot cross the program boundary on
+    this backend, and an in-body cast would rely on XLA loop hoisting)."""
+    if getattr(model.cfg, "qwen", None) is not None \
+            and model.cfg.qwen.quant == "int4xla":
+        from cosyvoice_tpu.utils.quant import int4_device_cast
+        return int4_device_cast(params)
+    return params
+
+
 def lm_generate_from_embeds(model, params, embeds, seq_len, min_len, max_len,
                             rng, max_steps: int, cache_len: int,
                             causal_prefill: bool = True):
@@ -292,6 +328,7 @@ def lm_generate_from_embeds(model, params, embeds, seq_len, min_len, max_len,
     cfg = model.cfg
     cls = type(model)
     B = embeds.shape[0]
+    params = _decode_params(model, params)
 
     Tp = embeds.shape[1]
     cache = KVCache.create(cfg.qwen, B, cache_len, dtype=embeds.dtype)
@@ -832,6 +869,7 @@ def lm_prefill_stream(model, params, text, text_len, prompt_speech,
     cfg = model.cfg
     cls = type(model)
     B = text.shape[0]
+    params = _decode_params(model, params)
     embeds, seq_len = model.apply(params, text, text_len, prompt_speech,
                                   prompt_speech_len, method=cls.prefill_embeds)
     Tp = embeds.shape[1]
@@ -862,6 +900,7 @@ def lm_prefill_stream(model, params, text, text_len, prompt_speech,
 def lm_decode_chunk(model, params, state: StreamState, n_steps: int,
                     prefix_len: int, cache_len: int, max_steps: int) -> StreamState:
     """Advance the decode by up to n_steps (stops early on EOS/max_len)."""
+    params = _decode_params(model, params)
     _, _, body = _decode_machinery(model, params, state.seq_len, prefix_len,
                                    cache_len, max_steps)
     start = state.gen.step

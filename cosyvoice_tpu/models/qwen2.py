@@ -42,11 +42,14 @@ class Qwen2Config:
     tie_word_embeddings: bool = True
     dtype: jnp.dtype = jnp.float32
     # weight-only quantization of the 7 per-layer projection matrices
-    # ("none" | "int8" | "int4").  Decode is weight-bandwidth-bound: int8
-    # halves its HBM traffic, packed int4 (two rows per byte, Pallas dequant
-    # matmul — ops/pallas/int4_matmul.py) halves it again.  Per-output-
-    # channel f32 scales; activations stay bf16/f32.  Produce params with
-    # utils.quant.quantize_qwen_int8 / quantize_qwen_int4.
+    # ("none" | "int8" | "int4" | "int4xla").  Decode is weight-bandwidth-
+    # bound: int8 halves its HBM traffic; "int4xla" (r5) halves it again
+    # through NATIVE jnp.int4 buffers cast inside each decode program
+    # (utils.quant.int4_device_cast) — measured 1.29x over int8 on this
+    # backend, where the "int4" Pallas packed route loses 3x to custom-call
+    # DMA (kept for backends with full-rate Pallas DMA).  Produce params
+    # with utils.quant.quantize_qwen_int8 / int4 / int4xla (the latter
+    # optionally AWQ-equalized from collect_act_stats calibration).
     quant: str = "none"
     quant_group: int = 128  # int4 scale group size (input-dim sub-channels)
     # decode attention + cache append through the fused Pallas kernel over a
@@ -135,6 +138,27 @@ class QDense(nn.Module):
             s = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
             y = jnp.dot(x, k.astype(x.dtype)) * s.astype(x.dtype)
+        elif self.quant == "int4xla":
+            # XLA-native int4 (r5): kernel holds nibble VALUES [-7, 7] as
+            # int8 at the program boundary; decode-loop programs cast the
+            # whole tree to jnp.int4 once at entry (utils.quant.
+            # int4_device_cast) so the loop streams packed int4 HBM buffers
+            # (measured 1.29x over int8 — tools/probe_int4_xla.py; the
+            # Pallas packed route lost 3x to custom-call DMA).  Group-wise
+            # scales along the input dim via a per-group batched dot.
+            g = min(self.quant_group, in_f)
+            G = in_f // g
+            k = self.param("kernel", nn.initializers.zeros_init(),
+                           (in_f, self.features), jnp.int8)
+            s = self.param("scale", nn.initializers.ones,
+                           (G, self.features), jnp.float32)
+            w = k.astype(jnp.int4) if k.dtype == jnp.int8 else k
+            wb = w.astype(x.dtype).reshape(G, g, self.features)
+            lead = x.shape[:-1]
+            xg = x.reshape(-1, G, g)
+            p = jnp.einsum("bgi,gio->bgo", xg, wb)
+            y = jnp.einsum("bgo,go->bo", p, s.astype(x.dtype))
+            y = y.reshape(*lead, self.features)
         elif self.quant == "int4":
             # packed two-rows-per-byte kernel + Pallas dequant matmul: decode
             # HBM weight traffic is the int4 bytes (half of int8's).  Scales
@@ -209,6 +233,10 @@ class Qwen2Layer(nn.Module):
         B, T, _ = x.shape
         h = rms_norm(x, self.param("input_layernorm", nn.initializers.ones,
                                    (cfg.hidden_size,)), cfg.rms_norm_eps)
+        # per-channel activation magnitudes for AWQ calibration (free unless
+        # applied with mutable=["intermediates"] — see llm.collect_act_stats)
+        self.sow("intermediates", "attn_in_amax",
+                 jnp.max(jnp.abs(h), axis=tuple(range(h.ndim - 1))))
         q = QDense(H * HD, quant=cfg.quant, quant_group=cfg.quant_group, name="q_proj")(h).reshape(B, T, H, HD)
         k = QDense(KH * HD, quant=cfg.quant, quant_group=cfg.quant_group, name="k_proj")(h).reshape(B, T, KH, HD)
         v = QDense(KH * HD, quant=cfg.quant, quant_group=cfg.quant_group, name="v_proj")(h).reshape(B, T, KH, HD)
@@ -296,10 +324,14 @@ class Qwen2Layer(nn.Module):
 
         h = rms_norm(x, self.param("post_attention_layernorm", nn.initializers.ones,
                                    (cfg.hidden_size,)), cfg.rms_norm_eps)
+        self.sow("intermediates", "mlp_in_amax",
+                 jnp.max(jnp.abs(h), axis=tuple(range(h.ndim - 1))))
         gate = QDense(cfg.intermediate_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="gate_proj")(h)
         up = QDense(cfg.intermediate_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="up_proj")(h)
-        x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="down_proj")(
-            jax.nn.silu(gate) * up)
+        act = jax.nn.silu(gate) * up
+        self.sow("intermediates", "down_in_amax",
+                 jnp.max(jnp.abs(act), axis=tuple(range(act.ndim - 1))))
+        x = x + QDense(cfg.hidden_size, use_bias=False, quant=cfg.quant, quant_group=cfg.quant_group, name="down_proj")(act)
         return x, new_cache
 
 

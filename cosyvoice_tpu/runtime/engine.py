@@ -304,6 +304,8 @@ def engine_decode_segment(model: Qwen2LM, params, state: EngineState,
     slots are done).  One while_loop; slots at different sequence lengths."""
     cfg = model.cfg
     cls = type(model)
+    from cosyvoice_tpu.models.llm import _decode_params
+    params = _decode_params(model, params)
     cache_len = state.cache.k[0].shape[-2] if not cfg.qwen.fused_cache_update \
         else state.cache.k[0].shape[1]
     start = state.step

@@ -403,3 +403,67 @@ def test_lm_generate_fused_step_greedy_parity():
     assert int(got_cnt[0]) == int(want_cnt[0])
     np.testing.assert_array_equal(np.asarray(got_out[0][:int(got_cnt[0])]),
                                   np.asarray(want_out[0][:int(want_cnt[0])]))
+
+
+def test_lm_int4xla_decode_matches_fp():
+    """XLA-native int4 (quant='int4xla', r5): int8-stored nibble kernels,
+    cast to jnp.int4 inside the decode programs, group-wise dequant via a
+    per-group batched dot.  Same teacher-forced argmax gate as the Pallas
+    int4 test, plus AWQ equalization (activation-aware fold into the
+    preceding norms/up-columns) must be numerically EXACT pre-quantization
+    and must not hurt agreement."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.llm import collect_act_stats
+    from cosyvoice_tpu.models.qwen2 import causal_prefill_bias
+    from cosyvoice_tpu.utils.quant import awq_equalize, quantize_qwen_int4xla
+
+    rng = np.random.default_rng(0)
+    S = 20
+    cfg = LMConfig(llm_input_size=TINY.hidden_size, llm_output_size=TINY.hidden_size,
+                   speech_token_size=S, qwen=TINY,
+                   sampling=SamplingConfig(method="greedy"))
+    model = Qwen2LM(cfg)
+    text = jnp.asarray(rng.integers(0, TINY.vocab_size, (1, 6)))
+    params = model.init(jax.random.PRNGKey(0), text, jnp.asarray([6]),
+                        text, jnp.asarray([6]))
+    psp = jnp.asarray(rng.integers(0, S, (1, 48)))
+
+    def logits_of(m, p):
+        emb, seq_len = m.apply(p, text, jnp.asarray([6]), psp, jnp.asarray([48]),
+                               method=Qwen2LM.prefill_embeds)
+        T = emb.shape[1]
+        bias = causal_prefill_bias(T, T, seq_len, 1, emb.dtype)
+        pos = jnp.broadcast_to(jnp.arange(T)[None], (1, T))
+        h, _ = m.apply(p, emb, pos, bias, method=Qwen2LM.forward_hidden)
+        return np.asarray(m.apply(p, h, method=Qwen2LM.decode_logits))[0]
+
+    lf = logits_of(model, params)
+
+    # AWQ fold alone is EXACT at fp
+    stats = collect_act_stats(model, params, text, jnp.asarray([6]), psp,
+                              jnp.asarray([48]))
+    assert sorted(stats) == list(range(TINY.num_layers))
+    p_eq = awq_equalize(params, stats)
+    np.testing.assert_allclose(logits_of(model, p_eq), lf, atol=2e-5,
+                               rtol=1e-4)
+
+    qcfg = dataclasses.replace(
+        cfg, qwen=dataclasses.replace(TINY, quant="int4xla", quant_group=8))
+    qmodel = Qwen2LM(qcfg)
+    for use_awq in (False, True):
+        qparams = quantize_qwen_int4xla(params, group_size=8,
+                                        act_amax=stats if use_awq else None)
+        lq = logits_of(qmodel, qparams)
+        agree = (lf.argmax(-1) == lq.argmax(-1)).mean()
+        assert agree >= 0.75, (use_awq, agree)
+
+    # free-running decode sanity through the jitted loop (exercises the
+    # in-program int4 cast path)
+    from cosyvoice_tpu.models.llm import lm_generate
+    qparams = quantize_qwen_int4xla(params, group_size=8)
+    out, cnt = lm_generate(qmodel, qparams, text, jnp.asarray([6]),
+                           psp, jnp.asarray([48]), jnp.asarray([4]),
+                           jnp.asarray([40]), jax.random.PRNGKey(1),
+                           max_steps=64, cache_len=128)
+    assert int(cnt[0]) > 0 and (np.asarray(out)[0, :int(cnt[0])] < S + 3).all()

@@ -12,15 +12,21 @@ Qwen projections at full 0.5B shapes) for int8 / int4 / bf16 weights, 500
 steps, reporting ms/step and effective GB/s.
 
 MEASURED (v5e via tunnel, 2026-08-21):
-  bf16   530 ms / 500 steps   368 GB bytes -> 695 GB/s
-  int8   268 ms / 500 steps   184 GB bytes -> 687 GB/s
-  int4   170 ms / 500 steps    92 GB bytes -> 542 GB/s
-int4 streams at 542 GB/s (79% of the int8 byte rate) -> the B=1 LM decode
-stage drops ~1.6x vs int8 (268 -> 170 ms per 500 tokens).  The lever is
-REAL on this backend: XLA dequantizes jnp.int4 inline without the Pallas
-DMA penalty.  Serving impact: B=1 total 0.41 s would drop to ~0.31 s
-(~64x) IF int4 quality is acceptable — argmax agreement remains the gate
-(see bench.py's teacher-forced agreement and utils/quant.py AWQ scaling).
+  bf16   507 ms / 500 steps   358 GB -> 706 GB/s
+  int8   273 ms / 500 steps   179 GB -> 655 GB/s
+  int4   211 ms / 500 steps    89 GB -> 424 GB/s   (packed int4 buffers
+                                                    created INSIDE the
+                                                    program; int4 arrays
+                                                    cannot cross this
+                                                    backend's program
+                                                    boundary)
+int4 streams at 424 GB/s on the packed bytes (65% of the int8 byte rate)
+but still nets a 1.29x decode speedup (273 -> 211 ms / 500 steps).  The
+lever is REAL on this backend: XLA-internal jnp.int4 avoids the Pallas
+custom-call DMA penalty entirely.  Production path: quant="int4xla"
+(models/qwen2.QDense) + utils.quant.{quantize_qwen_int4xla, awq_equalize,
+int4_device_cast}; bench.py gates the B=1 serving config on >= 0.9
+teacher-forced agreement at full scale.
 """
 import time
 
@@ -37,16 +43,24 @@ def main():
     H, KV, I, L = 896, 128, 4864, 24
     rng = np.random.default_rng(0)
 
+    to_i4 = jax.jit(lambda a: a.astype(jnp.int4))
+
     def layer_weights(dtype):
         ws = []
         for _ in range(L):
             shapes = [(H, H), (H, KV), (H, KV), (H, H), (H, I), (H, I),
                       (I, H)]
-            ws.append([jnp.asarray(
-                np.clip(rng.standard_normal(s) * 3, -7, 7).astype(np.int8),
-                dtype=dtype) if dtype != jnp.bfloat16 else
-                jnp.asarray(rng.standard_normal(s).astype(np.float32),
-                            jnp.bfloat16) for s in shapes])
+            row = []
+            for s in shapes:
+                if dtype == jnp.bfloat16:
+                    row.append(jnp.asarray(
+                        rng.standard_normal(s).astype(np.float32),
+                        jnp.bfloat16))
+                else:
+                    w8 = jnp.asarray(np.clip(rng.standard_normal(s) * 3,
+                                             -7, 7).astype(np.int8))
+                    row.append(w8)
+            ws.append(row)
         return ws
 
     def bytes_of(ws):
@@ -58,7 +72,7 @@ def main():
                     if w.dtype in (jnp.int8, jnp.bfloat16) else n // 2
         return tot
 
-    def step_fn():
+    def step_fn(internal_int4=False):
         def one_step_w(ws, x, _):
             h = x
             for lw in ws:
@@ -75,6 +89,12 @@ def main():
 
         @jax.jit
         def run(ws, x):
+            if internal_int4:
+                # int4 arrays cannot cross the program boundary on this
+                # backend ("device: nullptr"); convert ONCE inside the
+                # program, before the scan — the decode loop then reads
+                # packed int4 HBM buffers (if XLA keeps them packed)
+                ws = jax.tree.map(lambda w: w.astype(jnp.int4), ws)
             y, _ = jax.lax.scan(lambda c, s: one_step_w(ws, c, s), x,
                                 length=500)
             return y
@@ -84,14 +104,14 @@ def main():
     x = jnp.asarray(rng.standard_normal((1, H)).astype(np.float32),
                     jnp.bfloat16)
     for name, dtype in [("bf16", jnp.bfloat16), ("int8", jnp.int8),
-                        ("int4", jnp.int4)]:
+                        ("int4", jnp.int8)]:
         ws = layer_weights(dtype)
         nb = 0
         for lw in ws:
             for w in lw:
                 n = int(np.prod(w.shape))
                 nb += {"bf16": 2 * n, "int8": n, "int4": n // 2}[name]
-        run = step_fn()
+        run = step_fn(internal_int4=name == "int4")
         run(ws, x).block_until_ready()
         float(jnp.sum(run(ws, x)))  # cache-warm + forced read
         t0 = time.time()
