@@ -176,14 +176,21 @@ def main():
         sp = jnp.concatenate([psp1, gen], axis=1)
 
         def tf_logits(m, p):
-            emb, seq_len = m.apply(p, text1, jnp.asarray([25]), sp,
-                                   jnp.asarray([150]),
-                                   method=type(m).prefill_embeds)
-            T = emb.shape[1]
-            bias = causal_prefill_bias(T, T, seq_len, 1, emb.dtype)
-            pos = jnp.broadcast_to(jnp.arange(T)[None], (1, T))
-            h, _ = m.apply(p, emb, pos, bias, method=type(m).forward_hidden)
-            lg = m.apply(p, h, method=type(m).decode_logits)
+            # jitted: int4xla's in-program int4 cast cannot run eagerly on
+            # this backend (int4 arrays don't cross the program boundary)
+            @jax.jit
+            def f(p):
+                emb, seq_len = m.apply(p, text1, jnp.asarray([25]), sp,
+                                       jnp.asarray([150]),
+                                       method=type(m).prefill_embeds)
+                T = emb.shape[1]
+                bias = causal_prefill_bias(T, T, seq_len, 1, emb.dtype)
+                pos = jnp.broadcast_to(jnp.arange(T)[None], (1, T))
+                h, _ = m.apply(p, emb, pos, bias,
+                               method=type(m).forward_hidden)
+                return m.apply(p, h, method=type(m).decode_logits), seq_len
+
+            lg, seq_len = f(p)
             end = int(np.asarray(seq_len)[0])
             return np.asarray(lg[0, end - 101: end - 1].argmax(-1))
 
@@ -233,7 +240,7 @@ def main():
     prompt_feat1 = jnp.asarray((rng.standard_normal((1, 100, 80)) * 0.3).astype(np.float32))
     emb1 = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
 
-    def run(B, seed, stage_times=None):
+    def run(B, seed, stage_times=None, fetch=True):
         text = jnp.tile(text1, (B, 1))
         psp = jnp.tile(psp1, (B, 1))
         n = jnp.full((B,), N_TOKENS)
@@ -259,7 +266,11 @@ def main():
         wav, _ = hift_infer(hift_params, mel, jax.random.PRNGKey(seed))
         # force a real device->host read: through the remote-TPU tunnel,
         # block_until_ready alone does not observably wait for completion
-        float(jnp.sum(jnp.abs(wav[:, ::1000])))
+        # (and every such sync costs a ~30 ms round trip — chained timing
+        # loops pass fetch=False on all but the last run to amortize it,
+        # exactly as one sync covers all B rows in the batched sections)
+        if fetch:
+            float(jnp.sum(jnp.abs(wav[:, ::1000])))
         if stage_times is not None:
             stage_times["hift"] = time.time() - t0
         return wav
@@ -309,20 +320,31 @@ def main():
         log("B=1: warmup/compile...")
         wav = run(1, 0)
         assert np.isfinite(np.asarray(wav)).all(), "non-finite waveform"
-        times = []
-        for i in range(2):
-            t0 = time.time()
-            wav = run(1, i + 1)
-            times.append(time.time() - t0)
-        dt = min(times)
+        # isolated request latency: one request, including the wav fetch
+        t0 = time.time()
+        wav = run(1, 1)
+        lat = time.time() - t0
+        # sustained single-stream throughput: back-to-back requests, one
+        # fetch at the end (the per-request ~30 ms tunnel sync is a fixed
+        # tax of THIS harness's remote hop, not of the chip)
+        reps = 4
+        t0 = time.time()
+        for i in range(reps):
+            wav = run(1, i + 2, fetch=i == reps - 1)
+        dt = (time.time() - t0) / reps
         audio_s = wav.shape[1] / 24000.0
         results[1] = audio_s / dt
-        log(f"B=1: {dt:.2f}s for {audio_s:.0f}s audio -> {results[1]:.1f}x realtime")
+        log(f"B=1: {dt:.2f}s/utt sustained ({audio_s:.0f}s audio -> "
+            f"{results[1]:.1f}x realtime; isolated latency {lat:.2f}s "
+            f"incl. fetch = {audio_s / lat:.1f}x)")
         st: dict = {}
-        run(1, 3, stage_times=st)   # staged run (adds sync reads, not timed)
+        run(1, 8, stage_times=st)   # compile the per-stage sync slices
+        st = {}
+        run(1, 9, stage_times=st)   # staged run (adds sync reads, not timed)
         log(f"B=1 stage split: lm {st['lm']:.3f}s, flow {st['flow']:.3f}s, "
-            f"hift {st['hift']:.3f}s")
+            f"hift {st['hift']:.3f}s (each incl. a ~30 ms tunnel sync)")
         emit("b1", single_stream_x=round(results[1], 2),
+             b1_latency_s=round(lat, 3),
              b1_lm_s=round(st["lm"], 3), b1_flow_s=round(st["flow"], 3),
              b1_hift_s=round(st["hift"], 3))
 
