@@ -479,18 +479,30 @@ def main():
 
         # 500-token sessions (20 s utterances — the same workload as the
         # one-shot sections) under the PRODUCTION streaming levers:
-        # progressive hop (chunk hop grows 50->100->200 per stream, v1-style)
-        # and — r5 — INCREMENTAL flow (models/flow_chunk.py): each mel row
-        # is computed once against cached per-slot state, replacing the
-        # r3/r4 windowed path that re-ran the prompt+W=250 context per
-        # chunk.  Audio follows the stream-masked flow model (chunk-causal
-        # attention, left_chunks=2) instead of the windowed full-attention
-        # one; BENCH_ENGINE_MODE=windowed restores the r4 path.
+        # progressive hop (chunk hop grows 50->100->200 per stream,
+        # v1-style) and a bounded flow context window (W=250), so
+        # per-session flow work is O(T).
+        #
+        # r5 MEASURED VERDICT on the incremental flow engine
+        # (models/flow_chunk.py; BENCH_ENGINE_MODE=incremental): it
+        # computes each mel row exactly ONCE against cached per-slot state
+        # (parity-proven vs the one-shot stream model) — yet measures
+        # 59-70x at 8 streams vs the windowed path's 76.5x on THIS
+        # backend, because (a) the windowed estimator runs through the
+        # fused Pallas DiT-block/attention kernels (~4x faster per row
+        # than the chunked XLA blocks, whose ~15 small ops/block are
+        # dispatch-latency-bound at [16, 200-400]-row shapes), and (b)
+        # per-flush fixed costs (~30 ms/device-sync tunnel tax, program
+        # dispatches) dominate the row savings at 500-token sessions.
+        # The windowed path therefore stays the serving default; the
+        # incremental engine is the structural direction for backends
+        # with fast small-op dispatch / longer streams (its per-session
+        # cost is strictly O(emitted rows)).
         etokens = int(os.environ.get("BENCH_ENGINE_TOKENS", "500"))
         eratio = etokens / 25.0
         lm_cfg_eng = _dc2.replace(lm_cfg, min_token_text_ratio=eratio,
                                   max_token_text_ratio=eratio)
-        engine_mode = os.environ.get("BENCH_ENGINE_MODE", "incremental")
+        engine_mode = os.environ.get("BENCH_ENGINE_MODE", "windowed")
         flow_cfg_inc = _dc2.replace(
             flow_cfg, estimator=_dc2.replace(
                 flow_cfg.estimator, stream=True, left_chunks=2,
@@ -572,11 +584,7 @@ def main():
             x16, t16, _ = engine_measure(16, [16])
             emit("engine16", engine_16stream_x=round(x16, 2),
                  engine_16stream_ttfb_ms=round(t16, 1))
-            # 32 streams stay on the windowed path: the incremental
-            # estimator's per-euler-step K/V caches at 32 slots (left 2)
-            # would claim ~7 GB HBM on top of the serving stack
-            x32, t32, _ = engine_measure(32, [1, 2, 4, 8, 16, 32],
-                                         mode="windowed")
+            x32, t32, _ = engine_measure(32, [32])
             emit("engine32", engine_32stream_x=round(x32, 2),
                  engine_32stream_ttfb_ms=round(t32, 1))
 
