@@ -3,12 +3,13 @@
 Runs the full-size CosyVoice2 stack (Qwen2-0.5B LM -> flow -> HiFT) with
 SEEDED fan-in-scaled random weights (not zeros: int8/int4 scales are then
 non-degenerate and the reported quantization greedy-agreement is meaningful;
-TPU timing itself is data-independent): a single-stream run (latency RTF,
-int8 LM — decode is weight-HBM-bound and B=1 amortizes nothing; int4 loses
-at B=1 to per-call overhead, see the lm_cfg_b1 note below) and a batched
-serving run (B utterances decoded concurrently, int8 LM — the per-chip
-throughput number that matters for production serving).  LM KV runs bf16
-(fp32 softmax/norms); flow + vocoder bf16 on TPU.
+TPU timing itself is data-independent): a single-stream run (int8 LM by
+default; the XLA-native int4 path — a measured 1.29x decode lever — takes
+over automatically when its full-scale teacher-forced agreement clears the
+0.9 quality gate) and a batched serving run (B utterances decoded
+concurrently, int8 LM — the per-chip throughput number that matters for
+production serving).  LM KV runs bf16 (fp32 softmax/norms); flow + vocoder
+bf16 on TPU.
 
 Baseline target (BASELINE.md): >50x real-time per TPU v5e chip;
 vs_baseline = value / 50.
@@ -601,6 +602,14 @@ def main():
                                               make_train_state,
                                               make_train_step)
 
+        # training is the LAST section: drop every serving tree first —
+        # the packed block-attention step OOMed with the serving params
+        # (~2 GB) still resident after the engine sections
+        smodel = emodel = emodel_w = None
+        llm_params = llm_params_b1 = flow_params = hift_params = None
+        import gc as _gc
+        _gc.collect()
+
         # blockwise attention (qwen.block_attention, ops/block_attention.py)
         # is the r5 training default: the tools/probe_block_attn.py sweep
         # measured it FASTER than naive even at bs8 seq448 (no [B,H,N,N]
@@ -623,7 +632,8 @@ def main():
             "text_token_len": jnp.full((Bt,), Tt, jnp.int32),
             "speech_token": jnp.asarray(rng.integers(0, 6561, (Bt, Ts))),
             "speech_token_len": jnp.full((Bt,), Ts, jnp.int32)}
-        # donate=False: flow_params are reused by the serving sections above
+        # donate=False: the packed step below reuses llm_tr_params (their
+        # buffers must survive the unpacked steps)
         step_llm = make_train_step(llm_loss_fn(llm_tr), tx, donate=False)
         st = make_train_state(llm_tr_params, tx)
         log("train llm: warmup/compile...")
@@ -666,7 +676,7 @@ def main():
         # 20k tokens exhaust HBM regardless of the attention form
         exs = [(rng.integers(0, 1000, int(rng.integers(10, 60))),
                 rng.integers(0, 6561, int(rng.integers(60, 440))))
-               for _ in range(24)]
+               for _ in range(16)]
         ROW = 2048
         packed = pack_llm_examples(exs, row_len=ROW, eos_token=6561 + 2)
         batch_packed = {k: jnp.asarray(v) for k, v in packed.items()
