@@ -82,19 +82,16 @@ def main():
         lm_cfg = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant="int8",
                                              fused_cache_update=True))
-        # single stream ALSO int8 (not int4): packed int4 halves the weight
-        # bytes again, but per-projection Pallas-call overhead inside the
-        # decode while_loop (24 layers x 7 projections x 500 steps) costs
-        # MORE than the saved bandwidth — measured 1.12 s vs int8's 0.36 s
-        # for the B=1 LM stage — and naive RTN int4 argmax agreement at the
-        # full 0.5B scale is 0.15 vs int8's 0.94 (teacher-forced,
-        # fan-in-scaled random weights; the tiny-model gate in
-        # tests/test_llm.py still holds).  int4 stays a from_pretrained
-        # lever; making it win needs either a fused per-layer decode kernel
-        # (measured dead on this backend's Pallas DMA) or an XLA-native
-        # dequant path.
+        # single stream defaults to int8; the XLA-native int4 path
+        # (quant="int4xla" — a measured 1.29x decode lever,
+        # tools/probe_int4_xla.py; the r4 Pallas packed-int4 route lost 3x
+        # to custom-call DMA) takes over below IF its full-scale
+        # teacher-forced agreement clears 0.9.  On this bench's fan-in
+        # random weights it measures 0.27 (int8 itself 0.91 — near-flat
+        # logits make per-position argmax brutally sensitive), so serving
+        # stays int8 here; re-evaluate on real checkpoints.
         # The fused cache kernel's fixed per-call cost only amortizes at
-        # B >= ~8, so B=1 also stays on the plain head-major cache path.
+        # B >= ~8, so B=1 stays on the plain head-major cache path.
         lm_cfg_b1 = dataclasses.replace(
             lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen,
                                              fused_cache_update=False))
